@@ -1,0 +1,283 @@
+"""Wavefront Monte Carlo surface integrators: direct lighting + path tracing.
+
+The TPU-native re-design of the reference's recursive per-pixel integrators:
+  - DirectLightIntegrator (integrator_direct_light.cc): emit + NEE + AO +
+    specular recursion, no diffuse indirect;
+  - PathIntegrator (integrator_path_tracer.cc:120-267): NEE every bounce,
+    Halton-per-depth dims, Russian roulette after a minimum bounce count.
+
+Instead of recursion over a scalar ray, the whole megabatch of rays marches
+through a statically-unrolled bounce loop with masked lanes ("wavefront
+formulation"); dead lanes simply carry zero throughput — there is no
+divergence on the VPU. The reference's RayDivision trajectory splitting
+(render_data.h:27-33) is subsumed by the flat sample budget.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .. import lights as L
+from .. import sampler
+from ..backgrounds import eval_background
+from ..materials import bsdf as B
+from ..materials.nodes import bump_normal
+from ..math import vec
+from ..ops import intersect as I
+from ..ops import surface as S
+from ..scene_types import SceneData
+from . import common
+
+Array = jax.Array
+
+
+@struct.dataclass
+class IntegratorConfig:
+    """Static integrator settings (ParamMap-parsed; names follow the
+    reference factories)."""
+    kind: str = struct.field(pytree_node=False, default="pathtracing")
+    bounces: int = struct.field(pytree_node=False, default=4)
+    russian_roulette_min_bounces: int = struct.field(pytree_node=False, default=2)
+    transparent_shadows: int = struct.field(pytree_node=False, default=0)
+    use_ao: bool = struct.field(pytree_node=False, default=False)
+    ao_samples: int = struct.field(pytree_node=False, default=8)
+    ao_distance: float = struct.field(pytree_node=False, default=1.0)
+    ao_color: Tuple[float, float, float] = struct.field(
+        pytree_node=False, default=(1.0, 1.0, 1.0))
+    no_recursive: bool = struct.field(pytree_node=False, default=False)
+    sample_all_lights_direct: bool = struct.field(pytree_node=False, default=True)
+    aov_layers: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+    transp_background: bool = struct.field(pytree_node=False, default=False)
+    clamp_indirect: float = struct.field(pytree_node=False, default=0.0)
+
+
+def make_integrator(pm: dict) -> IntegratorConfig:
+    """Factory mirroring src/integrator/integrator.cc:46-58 type strings."""
+    from .. import params as P
+    pm = P.ParamMap(pm)
+    kind = pm.get_string("type", "pathtracing")
+    if kind in ("directlighting", "pathtracing", "DebugIntegrator", "debug",
+                "photonmapping", "SPPM", "bidirectional"):
+        pass
+    else:
+        raise KeyError(f"integrator: unknown type {kind!r}")
+    return IntegratorConfig(
+        kind=kind,
+        bounces=pm.get_int("bounces", pm.get_int("raydepth", 4)),
+        russian_roulette_min_bounces=pm.get_int("russian_roulette_min_bounces", 2),
+        transparent_shadows=(pm.get_int("shadowDepth", 4)
+                             if pm.get_bool("transpShad", False) else 0),
+        use_ao=pm.get_bool("do_AO", False),
+        ao_samples=pm.get_int("AO_samples", 8),
+        ao_distance=pm.get_float("AO_distance", 1.0),
+        ao_color=tuple(pm.get_color("AO_color", (1, 1, 1))[:3].tolist()),
+        no_recursive=pm.get_bool("no_recursive", False),
+        clamp_indirect=pm.get_float("clamp_indirect", 0.0),
+    )
+
+
+def _sample_ambient_occlusion(scene, cfg, sp, wo, pixel_id, sample_idx):
+    """AO estimator (TiledIntegrator::sampleAmbientOcclusion,
+    integrator_tiled.cc:644)."""
+    col = jnp.zeros_like(sp.p)
+    ao_col = jnp.asarray(cfg.ao_color, jnp.float32)
+    for s in range(cfg.ao_samples):
+        u1, u2 = sampler.rand2(pixel_id, sample_idx, 900 + s, 0)
+        d_loc = vec.cosine_sample_hemisphere(u1, u2)
+        wi = vec.from_local(d_loc, sp.nu, sp.nv, sp.n)
+        tr = common.trace_shadow(scene, sp.p, sp.prim, wi,
+                                 jnp.full(sp.t.shape, cfg.ao_distance),
+                                 cfg.transparent_shadows)
+        col = col + ao_col * tr / cfg.ao_samples
+    return jnp.where(sp.valid[..., None], col, 0.0)
+
+
+def integrate(scene: SceneData, cfg: IntegratorConfig,
+              ray_o: Array, ray_d: Array, ray_valid: Array,
+              pixel_id: Array, sample_idx: Array
+              ) -> Tuple[Array, Array, Dict[str, Array]]:
+    """Trace one wavefront of camera rays to completion.
+
+    Returns (rgb[N,3], alpha[N], aux_layers{name: [N,C]})."""
+    if cfg.kind in ("debug", "DebugIntegrator"):
+        return _integrate_debug(scene, cfg, ray_o, ray_d, ray_valid)
+
+    n = ray_o.shape[0]
+    num_lights = scene.lights.num_lights
+    direct_only = cfg.kind == "directlighting"
+
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    alive = ray_valid
+    alpha = jnp.zeros((n,), jnp.float32)
+    o, d = ray_o, ray_d
+    prev_prim = jnp.full((n,), -1, jnp.int32)
+    prev_pdf = jnp.zeros((n,), jnp.float32)
+    prev_delta = jnp.ones((n,), bool)  # camera rays count as delta for MIS
+    prev_p = ray_o
+    aux: Dict[str, Array] = {}
+
+    # light pick pdf for the path tracer's uniform pick
+    # (estimateOneDirectLight, integrator_montecarlo.cc:70)
+    sample_all = direct_only or cfg.sample_all_lights_direct or num_lights <= 2
+
+    max_depth = cfg.bounces + 1
+    for depth in range(max_depth):
+        hit = I.closest_hit(scene, o, d, scene.ray_min_dist, 1e30,
+                            exclude_prim=prev_prim)
+        hit = hit.replace(valid=hit.valid & alive)
+        sp = S.make_surface(scene, hit, o, d)
+        sp = bump_normal(scene, sp)
+        wo = -d
+
+        # --- escaped rays: background (+ env-light MIS) ---
+        escaped = alive & ~hit.valid
+        bg_rad = eval_background(scene, d)
+        bg_mis = jnp.ones((n,), jnp.float32)
+        if scene.lights.bg_light_idx >= 0:
+            bpdf = L.background_pdf(scene, d)
+            pick = 1.0 if sample_all else 1.0 / max(num_lights, 1)
+            bg_mis = jnp.where(prev_delta, 1.0,
+                               vec.power_heuristic(prev_pdf, bpdf * pick))
+        add_bg = (depth > 0) or not cfg.transp_background
+        if add_bg:
+            radiance = radiance + jnp.where(
+                escaped[..., None], throughput * bg_rad * bg_mis[..., None], 0.0)
+        if depth == 0:
+            aux = _first_hit_layers(scene, cfg, sp, d)
+        alpha = jnp.where(hit.valid & (depth == 0), 1.0, alpha)
+        # keep alpha 1 for lanes that bounced at least once then escaped
+        alpha = jnp.where((depth > 0) & alive, jnp.maximum(alpha, 1.0), alpha)
+        alive = alive & hit.valid
+
+        # --- emission at the hit (MIS-weighted vs NEE) ---
+        pick_pdf = 1.0 if sample_all else 1.0 / max(num_lights, 1)
+        mis_w = common.hit_light_mis_weight(scene, sp, prev_p, prev_pdf,
+                                            prev_delta, pick_pdf)
+        emit = common.emitted_radiance(scene, sp, wo)
+        radiance = radiance + jnp.where(alive[..., None],
+                                        throughput * emit * mis_w[..., None], 0.0)
+        # standalone area-light quads (face_obj == -1) are pure emitters: the
+        # reference intersects lights separately from scene geometry
+        # (AreaLight::intersect, light_area.cc:137) and never scatters off them
+        alive = alive & ~((sp.light_id >= 0) & (sp.obj_id < 0))
+
+        # --- next-event estimation ---
+        if num_lights > 0 and depth <= cfg.bounces:
+            if sample_all:
+                for li_static in range(num_lights):
+                    li = jnp.full((n,), li_static, jnp.int32)
+                    u1, u2 = sampler.rand2(pixel_id, sample_idx,
+                                           depth, 10 + 2 * li_static)
+                    c = common.estimate_one_light(
+                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows)
+                    radiance = radiance + jnp.where(alive[..., None],
+                                                    throughput * c, 0.0)
+            else:
+                ul, u1, u2, _ = jnp.moveaxis(
+                    sampler.rand4(pixel_id, sample_idx, depth, 10), -1, 0)
+                li = jnp.clip((ul * num_lights).astype(jnp.int32), 0,
+                              num_lights - 1)
+                c = common.estimate_one_light(
+                    scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
+                    pick_pdf=1.0 / num_lights)
+                radiance = radiance + jnp.where(alive[..., None],
+                                                throughput * c * num_lights
+                                                * (1.0 / num_lights), 0.0)
+
+        # --- ambient occlusion (direct-light integrator option) ---
+        if cfg.use_ao and depth == 0:
+            ao = _sample_ambient_occlusion(scene, cfg, sp, wo, pixel_id,
+                                           sample_idx)
+            mp = B.resolve_mp(scene, sp)
+            radiance = radiance + jnp.where(
+                alive[..., None],
+                throughput * ao * mp.diffuse_color / jnp.pi * 1.0, 0.0)
+
+        if depth == max_depth - 1:
+            break
+
+        # --- BSDF sampling / continuation ---
+        u1, u2, u3, u_rr = jnp.moveaxis(
+            sampler.rand4(pixel_id, sample_idx, depth, 2), -1, 0)
+        ms = B.sample_bsdf(scene, sp, wo, u1, u2, u3)
+        cont = alive & ms.valid
+        if direct_only or cfg.no_recursive:
+            # only specular/delta continuation (recursiveRaytrace analogue)
+            cont = cont & ms.is_delta
+        new_thr = throughput * ms.weight
+        if cfg.clamp_indirect > 0.0 and depth > 0:
+            mx = jnp.max(new_thr, axis=-1, keepdims=True)
+            new_thr = jnp.where(mx > cfg.clamp_indirect,
+                                new_thr * cfg.clamp_indirect / jnp.maximum(mx, 1e-9),
+                                new_thr)
+        # Russian roulette on throughput max (integrator_path_tracer.cc:248-255)
+        if depth >= cfg.russian_roulette_min_bounces and not direct_only:
+            p_survive = jnp.clip(jnp.max(new_thr, axis=-1), 0.05, 1.0)
+            kill = u_rr > p_survive
+            new_thr = new_thr / p_survive[..., None]
+            cont = cont & ~kill
+        throughput = jnp.where(cont[..., None], new_thr, throughput)
+        alive = cont
+        prev_p = sp.p
+        prev_prim = sp.prim
+        prev_pdf = ms.pdf
+        prev_delta = ms.is_delta
+        o = sp.p + ms.wi * scene.shadow_bias[..., None]
+        d = ms.wi
+
+    alpha = jnp.clip(alpha, 0.0, 1.0)
+    return radiance, alpha, aux
+
+
+def _first_hit_layers(scene, cfg, sp, d) -> Dict[str, Array]:
+    """AOV layer values from the primary hit (generateCommonLayers analogue,
+    integrator_tiled.cc:410)."""
+    out: Dict[str, Array] = {}
+    if not cfg.aov_layers:
+        return out
+    v = sp.valid[..., None]
+    for name in cfg.aov_layers:
+        if name == "normal-smooth":
+            out[name] = jnp.where(v, sp.n * 0.5 + 0.5, 0.0)
+        elif name == "normal-geom":
+            out[name] = jnp.where(v, sp.ng * 0.5 + 0.5, 0.0)
+        elif name == "z-depth-abs":
+            out[name] = jnp.where(v, sp.t[..., None], 0.0)
+        elif name == "z-depth-norm":
+            t = sp.t[..., None]
+            out[name] = jnp.where(v, t, 0.0)  # normalized at flush
+        elif name == "uv":
+            out[name] = jnp.where(v, jnp.concatenate(
+                [sp.uv, jnp.zeros_like(sp.uv[..., :1])], -1), 0.0)
+        elif name == "albedo":
+            mp = B.resolve_mp(scene, sp)
+            out[name] = jnp.where(v, mp.diffuse_color, 0.0)
+        elif name == "mat-index-abs":
+            out[name] = jnp.where(v, sp.mat_id[..., None].astype(jnp.float32), 0.0)
+        elif name == "obj-index-abs":
+            out[name] = jnp.where(v, sp.obj_id[..., None].astype(jnp.float32), 0.0)
+        elif name == "emit":
+            out[name] = jnp.where(v, common.emitted_radiance(scene, sp, -d), 0.0)
+        elif name == "debug-nu":
+            out[name] = jnp.where(v, sp.nu * 0.5 + 0.5, 0.0)
+        elif name == "debug-nv":
+            out[name] = jnp.where(v, sp.nv * 0.5 + 0.5, 0.0)
+        elif name == "debug-dpdu":
+            out[name] = jnp.where(v, vec.normalize(sp.dp_du) * 0.5 + 0.5, 0.0)
+        elif name == "debug-dpdv":
+            out[name] = jnp.where(v, vec.normalize(sp.dp_dv) * 0.5 + 0.5, 0.0)
+    return out
+
+
+def _integrate_debug(scene, cfg, ray_o, ray_d, ray_valid):
+    """DebugIntegrator (integrator_debug.cc): render normals as color."""
+    hit = I.closest_hit(scene, ray_o, ray_d, scene.ray_min_dist, 1e30)
+    hit = hit.replace(valid=hit.valid & ray_valid)
+    sp = S.make_surface(scene, hit, ray_o, ray_d)
+    rgb = jnp.where(sp.valid[..., None], sp.n * 0.5 + 0.5, 0.0)
+    alpha = sp.valid.astype(jnp.float32)
+    return rgb, alpha, {}

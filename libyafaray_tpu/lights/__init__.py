@@ -1,0 +1,283 @@
+"""Unified light table: masked vectorized sample / pdf / emission.
+
+Replaces the reference Light hierarchy (src/light/*, factory light.cc:46-55,
+interface include/light/light.h:45-85). All light types are evaluated with
+per-lane masks so a dynamically chosen light index (the path tracer's uniform
+light pick, integrator_montecarlo.cc:70) costs one pass of cheap VPU math.
+
+Conventions:
+  - `color` column stores: radiance L_e for area-type lights (area/sphere/
+    mesh), intensity (W/sr) for dirac lights (point/spot/directional/sun core).
+  - `sample_light` returns solid-angle pdfs; dirac lights get pdf=1 and
+    `is_dirac=True` with radiance already divided by distance^2.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import params as P
+from ..math import vec
+from ..scene_types import (
+    LIGHT_AREA, LIGHT_BACKGROUND, LIGHT_DIRECTIONAL, LIGHT_IES, LIGHT_MESH,
+    LIGHT_POINT, LIGHT_SPHERE, LIGHT_SPOT, LIGHT_SUN, LightTable, SceneData,
+)
+
+Array = jax.Array
+
+FLAG_CAST_SHADOWS = 1
+FLAG_ENABLED = 2
+FLAG_PHOTON_ONLY = 4
+FLAG_DOUBLE_SIDED = 8
+
+WORLD_RADIUS = 1e4  # scene-bound proxy for infinite lights
+
+
+@struct.dataclass
+class LightSample:
+    wi: Array        # f32[N,3] direction to light
+    dist: Array      # f32[N] distance to light sample (inf for infinite)
+    pdf: Array       # f32[N] solid-angle pdf (1 for dirac)
+    radiance: Array  # f32[N,3] incident radiance (dirac: already /d^2)
+    is_dirac: Array  # bool[N]
+    valid: Array     # bool[N]
+
+
+def _spot_falloff(cos_a: Array, cos_start: Array, cos_end: Array,
+                  falloff: Array) -> Array:
+    """Smooth spot edge (reference light_spot.cc: falloff curve between the
+    inner and outer cone)."""
+    t = (cos_a - cos_end) / jnp.maximum(cos_start - cos_end, 1e-9)
+    t = jnp.clip(t, 0.0, 1.0)
+    smooth = t * t * (3.0 - 2.0 * t)
+    return jnp.where(cos_a >= cos_start, 1.0,
+                     jnp.power(smooth, jnp.maximum(falloff, 1e-6)))
+
+
+def _ies_factor(lt: LightTable, li: Array, cos_a: Array) -> Array:
+    """IES photometric profile lookup: candela multiplier vs angle from the
+    light axis (reference light_ies.cc + light_ies_data.h). Profiles are
+    resampled host-side to IES_RES uniform angular bins over [0, pi]."""
+    ies_id = lt.ies_id[li]
+    has = ies_id >= 0
+    res = lt.ies_pool.shape[-1] if lt.ies_pool.ndim == 2 else 0
+    if res == 0:
+        return jnp.ones_like(cos_a)
+    ang = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+    x = ang / jnp.pi * (res - 1)
+    i0 = jnp.clip(x.astype(jnp.int32), 0, res - 2)
+    fr = x - i0
+    prof = lt.ies_pool[jnp.maximum(ies_id, 0)]  # [N, res]
+    lanes = jnp.arange(i0.shape[0])
+    v = prof[lanes, i0] * (1 - fr) + prof[lanes, i0 + 1] * fr
+    return jnp.where(has, v, jnp.ones_like(cos_a))
+
+
+def sample_light(scene: SceneData, li: Array, p: Array, ns: Array,
+                 u1: Array, u2: Array) -> LightSample:
+    """Light::illumSample for a per-lane light index `li` at shading points
+    `p` (with shading normal `ns` for pdf-free culling)."""
+    lt = scene.lights
+    ty = lt.light_type[li]
+    pos = lt.position[li]
+    ldir = lt.direction[li]
+    col = lt.color[li]
+    n = p.shape[0]
+
+    to_l = pos - p
+    d2 = jnp.maximum(vec.dot(to_l, to_l), 1e-12)
+    dist_pt = jnp.sqrt(d2)
+    wi_pt = to_l / dist_pt[..., None]
+
+    wi = jnp.zeros_like(p)
+    dist = jnp.full((n,), jnp.inf, jnp.float32)
+    pdf = jnp.ones((n,), jnp.float32)
+    rad = jnp.zeros_like(p)
+    dirac = jnp.zeros((n,), bool)
+    valid = jnp.ones((n,), bool)
+
+    # ---- point (light_point.cc) + IES ----
+    m = ty == LIGHT_POINT
+    rad_p = col / d2[..., None]
+    wi = jnp.where(m[..., None], wi_pt, wi)
+    dist = jnp.where(m, dist_pt, dist)
+    rad = jnp.where(m[..., None], rad_p, rad)
+    dirac = dirac | m
+
+    # ---- IES (dirac with profile factor around axis) ----
+    m = ty == LIGHT_IES
+    cos_ax = vec.dot(-wi_pt, ldir)
+    ies_f = _ies_factor(lt, li, cos_ax)
+    rad_i = col * (ies_f / d2)[..., None]
+    wi = jnp.where(m[..., None], wi_pt, wi)
+    dist = jnp.where(m, dist_pt, dist)
+    rad = jnp.where(m[..., None], rad_i, rad)
+    dirac = dirac | m
+
+    # ---- spot (light_spot.cc) ----
+    m = ty == LIGHT_SPOT
+    cos_a = vec.dot(-wi_pt, ldir)
+    fall = _spot_falloff(cos_a, lt.cos_start[li], lt.cos_end[li], lt.falloff[li])
+    rad_s = col * (fall / d2)[..., None]
+    wi = jnp.where(m[..., None], wi_pt, wi)
+    dist = jnp.where(m, dist_pt, dist)
+    rad = jnp.where(m[..., None], rad_s, rad)
+    dirac = dirac | m
+    valid = valid & jnp.where(m, fall > 0.0, True)
+
+    # ---- directional (light_directional.cc) ----
+    m = ty == LIGHT_DIRECTIONAL
+    wi = jnp.where(m[..., None], -ldir, wi)
+    rad = jnp.where(m[..., None], col, rad)
+    dirac = dirac | m
+
+    # ---- sun: cone around -direction (light_sun.cc) ----
+    m = ty == LIGHT_SUN
+    cos_max = lt.cos_start[li]
+    u_ax, v_ax = vec.orthonormal_basis(-ldir)
+    cone = vec.uniform_sample_cone(u1, u2, cos_max)
+    wi_sun = (u_ax * cone[..., 0:1] + v_ax * cone[..., 1:2]
+              + (-ldir) * cone[..., 2:3])
+    pdf_sun = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+    wi = jnp.where(m[..., None], wi_sun, wi)
+    pdf = jnp.where(m, pdf_sun, pdf)
+    rad = jnp.where(m[..., None], col, rad)
+
+    # ---- area light: parallelogram corner+e1+e2 (light_area.cc) ----
+    m = ty == LIGHT_AREA
+    lp = pos + lt.edge1[li] * u1[..., None] + lt.edge2[li] * u2[..., None]
+    to_a = lp - p
+    d2a = jnp.maximum(vec.dot(to_a, to_a), 1e-12)
+    dist_a = jnp.sqrt(d2a)
+    wi_a = to_a / dist_a[..., None]
+    cos_l = vec.dot(-wi_a, ldir)
+    dbl = (lt.flags[li] & FLAG_DOUBLE_SIDED) != 0
+    cos_l_eff = jnp.where(dbl, jnp.abs(cos_l), cos_l)
+    pdf_a = d2a / jnp.maximum(lt.area[li] * jnp.maximum(cos_l_eff, 1e-9), 1e-12)
+    ok_a = cos_l_eff > 1e-6
+    wi = jnp.where(m[..., None], wi_a, wi)
+    dist = jnp.where(m, dist_a, dist)
+    pdf = jnp.where(m, pdf_a, pdf)
+    rad = jnp.where(m[..., None], col, rad)
+    valid = valid & jnp.where(m, ok_a, True)
+
+    # ---- sphere light: solid-angle cone sampling (light_sphere.cc) ----
+    m = ty == LIGHT_SPHERE
+    r = lt.radius[li]
+    sin2_max = jnp.clip(r * r / d2, 0.0, 1.0)
+    cos_max_s = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    u_s, v_s = vec.orthonormal_basis(wi_pt)
+    cone_s = vec.uniform_sample_cone(u1, u2, cos_max_s)
+    wi_s = (u_s * cone_s[..., 0:1] + v_s * cone_s[..., 1:2]
+            + wi_pt * cone_s[..., 2:3])
+    pdf_s = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max_s), 1e-9)
+    inside = d2 <= r * r
+    wi = jnp.where(m[..., None], wi_s, wi)
+    dist = jnp.where(m, dist_pt, dist)  # approx: center distance for shadow ray
+    pdf = jnp.where(m, pdf_s, pdf)
+    rad = jnp.where(m[..., None], col, rad)
+    valid = valid & jnp.where(m, ~inside, True)
+
+    # ---- mesh light: uniform triangle pick (light_object_light.cc) ----
+    if scene.geom.num_faces > 0:
+        m = ty == LIGHT_MESH
+        cnt = jnp.maximum(lt.tri_count[li], 1)
+        tri_i = lt.tri_start[li] + jnp.clip(
+            (u1 * cnt.astype(jnp.float32)).astype(jnp.int32), 0, cnt - 1)
+        # re-stretch u1 inside the chosen triangle
+        u1r = u1 * cnt.astype(jnp.float32) - jnp.floor(u1 * cnt.astype(jnp.float32))
+        g = scene.geom
+        fidx = g.faces[tri_i]
+        v0 = g.vertices[fidx[:, 0]]
+        v1 = g.vertices[fidx[:, 1]]
+        v2 = g.vertices[fidx[:, 2]]
+        b0, b1 = vec.sample_triangle_uniform(u1r, u2)
+        lp_m = v0 * b0[..., None] + v1 * b1[..., None] + v2 * (1 - b0 - b1)[..., None]
+        nrm = jnp.cross(v1 - v0, v2 - v0)
+        area2 = vec.length(nrm)
+        tri_area = 0.5 * area2
+        n_l = nrm / jnp.maximum(area2, 1e-12)[..., None]
+        to_m = lp_m - p
+        d2m = jnp.maximum(vec.dot(to_m, to_m), 1e-12)
+        dist_m = jnp.sqrt(d2m)
+        wi_m = to_m / dist_m[..., None]
+        cos_lm = jnp.abs(vec.dot(-wi_m, n_l))
+        pdf_m = d2m / jnp.maximum(
+            cnt.astype(jnp.float32) * tri_area * jnp.maximum(cos_lm, 1e-9), 1e-12)
+        wi = jnp.where(m[..., None], wi_m, wi)
+        dist = jnp.where(m, dist_m, dist)
+        pdf = jnp.where(m, pdf_m, pdf)
+        rad = jnp.where(m[..., None], col, rad)
+        valid = valid & jnp.where(m, cos_lm > 1e-6, True)
+
+    # ---- background light (light_background.cc) ----
+    m = ty == LIGHT_BACKGROUND
+    if scene.lights.bg_light_idx >= 0:
+        from .. import backgrounds as BG
+        bg = scene.background
+        if (bg.env_alias_prob is not None and bg.env_shape[0] > 0):
+            from ..textures import env_alias_sample
+            wi_b, pdf_b = env_alias_sample(scene, u1, u2)
+        else:
+            wi_b = vec.uniform_sample_sphere(u1, u2)
+            pdf_b = jnp.full((n,), 1.0 / (4.0 * jnp.pi), jnp.float32)
+        rad_b = BG.eval_background(scene, wi_b)
+        wi = jnp.where(m[..., None], wi_b, wi)
+        pdf = jnp.where(m, pdf_b, pdf)
+        rad = jnp.where(m[..., None], rad_b, rad)
+
+    enabled = (lt.flags[li] & FLAG_ENABLED) != 0
+    photon_only = (lt.flags[li] & FLAG_PHOTON_ONLY) != 0
+    valid = valid & enabled & ~photon_only & (vec.dot(rad, rad) > 0)
+    return LightSample(wi=wi, dist=dist, pdf=jnp.maximum(pdf, 1e-12),
+                       radiance=rad, is_dirac=dirac, valid=valid)
+
+
+def light_pdf_hit(scene: SceneData, light_id: Array, p_hit: Array, n_hit: Array,
+                  p_from: Array) -> Array:
+    """pdf (solid angle) that `sample_light` would have generated the
+    direction from p_from to p_hit on intersectable light `light_id` —
+    Light::illumPdf, needed for BSDF-sample MIS
+    (integrator_montecarlo.cc areaLightSampleMaterial:284)."""
+    lt = scene.lights
+    ty = lt.light_type[light_id]
+    to_h = p_hit - p_from
+    d2 = jnp.maximum(vec.dot(to_h, to_h), 1e-12)
+    wi = to_h * jax.lax.rsqrt(d2)[..., None]
+    cos_l = jnp.abs(vec.dot(-wi, n_hit))
+    pdf = jnp.zeros(p_from.shape[:-1], jnp.float32)
+
+    m = ty == LIGHT_AREA
+    pdf = jnp.where(m, d2 / jnp.maximum(lt.area[light_id]
+                                        * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
+    m = ty == LIGHT_MESH
+    # uniform-triangle pdf needs the specific triangle's area; approximate
+    # with total light area (exact when triangles are equal-area). Stored
+    # lt.area for mesh lights = sum of tri areas; pdf_area = 1/area_total.
+    pdf = jnp.where(m, d2 / jnp.maximum(lt.area[light_id]
+                                        * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
+    m = ty == LIGHT_SPHERE
+    c = lt.position[light_id]
+    r = lt.radius[light_id]
+    dc2 = jnp.maximum(vec.length_sq(c - p_from), 1e-12)
+    sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    pdf = jnp.where(m, 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9),
+                    pdf)
+    return pdf
+
+
+def background_pdf(scene: SceneData, d: Array) -> Array:
+    """pdf of the background light generating direction d (env MIS)."""
+    bg = scene.background
+    if scene.lights.bg_light_idx < 0:
+        return jnp.zeros(d.shape[:-1], jnp.float32)
+    if bg.env_alias_prob is not None and bg.env_shape[0] > 0:
+        from ..textures import env_pdf_dir
+        return env_pdf_dir(scene, d)
+    return jnp.full(d.shape[:-1], 1.0 / (4.0 * jnp.pi), jnp.float32)

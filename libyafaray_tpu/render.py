@@ -1,0 +1,132 @@
+"""Render orchestration: pixels -> camera rays -> integrator -> film.
+
+Replaces the reference render driver (Scene::render scene.cc:203-263 +
+TiledIntegrator::render/renderPass/renderTile, integrator_tiled.cc:50-358):
+no tile queue or thread pool — the whole image (or a shard of it) is one
+megabatch of rays per sample pass, jitted once and re-run per pass. Adaptive
+AA resampling (ImageFilm::nextPass noise flags, imagefilm.cc:259-445) is a
+masked weight on later passes instead of a pixel work-list.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import color as C
+from . import film as F
+from . import sampler
+from .cameras import shoot_rays
+from .integrators.mc import IntegratorConfig, integrate
+from .scene_types import SceneData
+
+Array = jax.Array
+
+
+@struct.dataclass
+class AAParams:
+    """Adaptive-AA settings (Scene::setupSceneRenderParams AA params,
+    scene.cc:582-610)."""
+    aa_samples: int = struct.field(pytree_node=False, default=1)
+    aa_passes: int = struct.field(pytree_node=False, default=1)
+    aa_inc_samples: int = struct.field(pytree_node=False, default=1)
+    threshold: float = struct.field(pytree_node=False, default=0.05)
+
+
+def render_pass_fn(scene: SceneData, cfg: IntegratorConfig, film: F.Film,
+                   sample_idx: Array, resample_mask: Optional[Array] = None
+                   ) -> F.Film:
+    """Render one sample per (active) pixel and accumulate into the film.
+    Pure function of (scene, film, sample_idx) — jit with static cfg."""
+    h, w = film.height, film.width
+    cam = scene.camera
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    pixel_id = (yy * w + xx).reshape(-1).astype(jnp.uint32)
+    # per-host decorrelated sample stream (adv_base_sampling_offset analogue)
+    s_idx = jnp.asarray(sample_idx, jnp.uint32) + jnp.uint32(
+        film.base_sampling_offset)
+
+    # pixel jitter: Owen-scrambled (0,2)-sequence per pixel
+    scramble = sampler.pcg4d(jnp.stack(
+        [pixel_id, jnp.full_like(pixel_id, 0x9E3779B9),
+         jnp.full_like(pixel_id, 7), jnp.full_like(pixel_id, 11)], -1))[..., 0]
+    ju, jv = sampler.ld02(s_idx, scramble)
+    px = xx.reshape(-1).astype(jnp.float32) + ju
+    py = yy.reshape(-1).astype(jnp.float32) + jv
+    # lens samples via Halton(3,5) like the reference (integrator_tiled.cc:348)
+    lens_u = sampler.rand1(pixel_id, s_idx, 0, 777)
+    lens_v = sampler.rand1(pixel_id, s_idx, 0, 778)
+
+    o, d, valid = shoot_rays(cam, px, py, lens_u, lens_v)
+    rgb, alpha, aux = integrate(scene, cfg, o, d, valid, pixel_id, s_idx)
+
+    weight = valid.astype(jnp.float32)
+    if resample_mask is not None:
+        weight = weight * resample_mask.reshape(-1)
+    layer_vals: Dict[str, Array] = {
+        "combined": jnp.concatenate([rgb, alpha[..., None]], axis=-1)}
+    for name, val in aux.items():
+        layer_vals[name] = val
+    # drop aux layers the film doesn't carry
+    layer_vals = {k: v for k, v in layer_vals.items() if k in film.layers}
+    return F.add_samples(film, px, py, layer_vals, weight)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+def _render_pass_jit(scene, cfg, film, sample_idx, resample_mask):
+    return render_pass_fn(scene, cfg, film, sample_idx, resample_mask)
+
+
+def compute_resample_mask(film: F.Film, threshold: float) -> Array:
+    """Adaptive-AA noise detection: flag pixels whose color difference vs any
+    neighbor exceeds the threshold (simplified ImageFilm::nextPass,
+    imagefilm.cc:300-426, incl. the neighbor color-difference criterion)."""
+    img = F.resolve(film, "combined")[..., :3]
+    img = C.linear_to_srgb(jnp.clip(img, 0.0, 1.0))  # perceptual-ish space
+    mask = jnp.zeros(img.shape[:2], bool)
+    for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+        nb = jnp.roll(img, (dy, dx), axis=(0, 1))
+        diff = C.color_difference(img, nb)
+        mask = mask | (diff > threshold)
+    # dilate by one pixel like the reference's flag spreading
+    for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+        mask = mask | jnp.roll(mask, (dy, dx), axis=(0, 1))
+    return mask.astype(jnp.float32)
+
+
+def render(scene: SceneData, cfg: IntegratorConfig, width: int, height: int,
+           spp: int = 16, aa: Optional[AAParams] = None,
+           layer_names: Tuple[str, ...] = ("combined",),
+           flt_kind: str = "box", flt_width: float = 1.0,
+           computer_node: int = 0, film: Optional[F.Film] = None,
+           start_sample: int = 0,
+           progress_cb=None) -> F.Film:
+    """Multi-pass render loop (TiledIntegrator::render analogue)."""
+    if film is None:
+        film = F.make_film(width, height, layer_names, flt_kind, flt_width,
+                           computer_node)
+    cfg = cfg.replace(aov_layers=tuple(n for n in layer_names
+                                       if n not in ("combined",)))
+    if aa is None:
+        aa = AAParams(aa_samples=spp, aa_passes=1)
+    ones = jnp.ones((height, width), jnp.float32)
+    s = start_sample
+    # pass 1: aa_samples samples everywhere
+    for i in range(aa.aa_samples):
+        film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), ones)
+        s += 1
+        if progress_cb:
+            progress_cb(s, aa.aa_samples)
+    # additional adaptive passes resample flagged pixels only
+    for p in range(1, aa.aa_passes):
+        mask = compute_resample_mask(film, aa.threshold)
+        for i in range(aa.aa_inc_samples):
+            film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), mask)
+            s += 1
+        if progress_cb:
+            progress_cb(s, aa.aa_samples + (aa.aa_passes - 1) * aa.aa_inc_samples)
+    return film

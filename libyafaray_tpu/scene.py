@@ -1,0 +1,682 @@
+"""Host-side scene builder: named-entity registries + geometry streaming,
+compiled to frozen SoA device arrays.
+
+This is the analogue of the reference's `Interface` + `Scene` layers
+(include/interface/interface.h:52-135, include/scene/scene.h:64-219): the
+same entity model — named materials, lights, textures, cameras, backgrounds,
+objects with streamed vertices/faces, instances, render views — but
+`compile()` lowers everything into the `SceneData` pytree instead of building
+a pointer graph. Parameter names follow the reference's ParamMap keys so
+reference scene descriptions map 1:1.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import params as P
+from .backgrounds import make_background
+from .cameras import make_camera
+from .scene_types import (
+    BVH, Background, Camera, Geometry, LightTable, MaterialTable, SceneData,
+    VolumeTable, LIGHT_AREA, LIGHT_BACKGROUND, LIGHT_BGPORTAL,
+    LIGHT_DIRECTIONAL, LIGHT_IES, LIGHT_MESH, LIGHT_POINT, LIGHT_SPHERE,
+    LIGHT_SPOT, LIGHT_SUN, MAT_BLEND, MAT_COATED_GLOSSY, MAT_GLASS,
+    MAT_GLOSSY, MAT_LIGHT, MAT_MASK, MAT_MIRROR, MAT_NULL, MAT_ROUGH_GLASS,
+    MAT_SHINY_DIFFUSE, BSDF_DIFFUSE, BSDF_EMIT, BSDF_GLOSSY, BSDF_SPECULAR,
+    BSDF_TRANSMIT, BSDF_REFLECT, VIS_INVISIBLE, VIS_NORMAL, VIS_NO_SHADOWS,
+    VIS_SHADOW_ONLY,
+)
+from .materials.bsdf import (FLAG_ANISOTROPIC, FLAG_AS_DIFFUSE,
+                             FLAG_FAKE_SHADOWS, FLAG_FRESNEL)
+from .lights import (FLAG_CAST_SHADOWS, FLAG_DOUBLE_SIDED, FLAG_ENABLED,
+                     FLAG_PHOTON_ONLY)
+
+_MAT_TYPE_BY_NAME = {
+    "shinydiffusemat": MAT_SHINY_DIFFUSE,
+    "glossy": MAT_GLOSSY,
+    "coated_glossy": MAT_COATED_GLOSSY,
+    "glass": MAT_GLASS,
+    "rough_glass": MAT_ROUGH_GLASS,
+    "mirror": MAT_MIRROR,
+    "null": MAT_NULL,
+    "light_mat": MAT_LIGHT,
+    "blend_mat": MAT_BLEND,
+    "mask_mat": MAT_MASK,
+}
+
+_VIS_BY_NAME = {
+    "normal": VIS_NORMAL,
+    "invisible": VIS_INVISIBLE,
+    "shadow_only": VIS_SHADOW_ONLY,
+    "no_shadows": VIS_NO_SHADOWS,
+}
+
+
+@dataclass
+class _MeshObject:
+    """Staged mesh while streaming (MeshObject analogue)."""
+    name: str
+    obj_id: int
+    vertices: List = field(default_factory=list)
+    normals: List = field(default_factory=list)  # optional streamed normals
+    uvs: List = field(default_factory=list)
+    faces: List = field(default_factory=list)     # (a,b,c, uva,uvb,uvc, mat)
+    visibility: int = VIS_NORMAL
+    smooth: bool = False
+    smooth_angle: float = 181.0
+    object_index: int = 0
+    light_name: Optional[str] = None  # set when a meshlight references it
+    is_sphere: bool = False
+    sphere_center: Optional[np.ndarray] = None
+    sphere_radius: float = 1.0
+    sphere_mat: int = 0
+
+
+class SceneBuilder:
+    """Stateful scene session (Interface+Scene analogue)."""
+
+    def __init__(self):
+        self.materials: Dict[str, P.ParamMap] = {}
+        self.material_order: List[str] = []
+        self.lights: Dict[str, P.ParamMap] = {}
+        self.light_order: List[str] = []
+        self.textures: Dict[str, P.ParamMap] = {}
+        self.texture_order: List[str] = []
+        self.texture_images: Dict[str, np.ndarray] = {}
+        self.cameras: Dict[str, P.ParamMap] = {}
+        self.background_params: Optional[P.ParamMap] = None
+        self.objects: Dict[str, _MeshObject] = {}
+        self.object_order: List[str] = []
+        self.instances: List[Tuple[str, np.ndarray]] = []
+        self.volumes: Dict[str, P.ParamMap] = {}
+        self.render_params = P.ParamMap()
+        self.current_object: Optional[_MeshObject] = None
+        self.current_material: int = 0
+        self.accel_kind: str = "brute"  # flipped to "bvh" once built
+        self._shader_stacks: Dict[str, List[P.ParamMap]] = {}
+
+    # --- entity creation (Scene::createX analogues) ---
+
+    def create_material(self, name: str, pm: dict,
+                        node_list: Optional[List[dict]] = None) -> int:
+        pm = P.ParamMap(pm)
+        ty = pm.get_string("type")
+        if ty not in _MAT_TYPE_BY_NAME:
+            raise KeyError(f"material: unknown type {ty!r}")
+        if name not in self.materials:
+            self.material_order.append(name)
+        self.materials[name] = pm
+        if node_list:
+            self._shader_stacks[name] = [P.ParamMap(n) for n in node_list]
+        return self.material_order.index(name)
+
+    def create_light(self, name: str, pm: dict) -> None:
+        if name not in self.lights:
+            self.light_order.append(name)
+        self.lights[name] = P.ParamMap(pm)
+
+    def create_texture(self, name: str, pm: dict,
+                       image: Optional[np.ndarray] = None) -> None:
+        if name not in self.textures:
+            self.texture_order.append(name)
+        self.textures[name] = P.ParamMap(pm)
+        if image is not None:
+            self.texture_images[name] = np.asarray(image, np.float32)
+
+    def create_camera(self, name: str, pm: dict) -> None:
+        self.cameras[name] = P.ParamMap(pm)
+
+    def create_background(self, pm: dict) -> None:
+        self.background_params = P.ParamMap(pm)
+
+    def create_volume_region(self, name: str, pm: dict) -> None:
+        self.volumes[name] = P.ParamMap(pm)
+
+    def set_render_params(self, pm: dict) -> None:
+        self.render_params.update(pm)
+
+    # --- geometry streaming (Interface::addVertex/addFace analogues) ---
+
+    def create_object(self, name: str, pm: Optional[dict] = None) -> None:
+        pm = P.ParamMap(pm or {})
+        obj = _MeshObject(name=name, obj_id=len(self.object_order))
+        obj.visibility = _VIS_BY_NAME[pm.get_string("visibility", "normal")]
+        obj.object_index = pm.get_int("object_index", 0)
+        if pm.get_string("type", "mesh") == "sphere":
+            obj.is_sphere = True
+            obj.sphere_center = pm.get_vector("center", (0, 0, 0))
+            obj.sphere_radius = pm.get_float("radius", 1.0)
+        self.objects[name] = obj
+        self.object_order.append(name)
+        self.current_object = obj
+
+    def set_current_material(self, name: str) -> None:
+        self.current_material = self._mat_id(name)
+
+    def _mat_id(self, name: str) -> int:
+        if name not in self.material_order:
+            raise KeyError(f"unknown material {name!r}")
+        return self.material_order.index(name)
+
+    def add_vertex(self, x, y, z) -> int:
+        self.current_object.vertices.append((x, y, z))
+        return len(self.current_object.vertices) - 1
+
+    def add_normal(self, x, y, z) -> None:
+        self.current_object.normals.append((x, y, z))
+
+    def add_uv(self, u, v) -> int:
+        self.current_object.uvs.append((u, v))
+        return len(self.current_object.uvs) - 1
+
+    def add_triangle(self, a, b, c, uv=None) -> None:
+        uva, uvb, uvc = uv if uv is not None else (-1, -1, -1)
+        self.current_object.faces.append(
+            (a, b, c, uva, uvb, uvc, self.current_material))
+
+    def add_quad(self, a, b, c, d, uv=None) -> None:
+        if uv is not None:
+            ua, ub, uc, ud = uv
+            self.add_triangle(a, b, c, (ua, ub, uc))
+            self.add_triangle(a, c, d, (ua, uc, ud))
+        else:
+            self.add_triangle(a, b, c)
+            self.add_triangle(a, c, d)
+
+    def smooth_mesh(self, name: str = "", angle: float = 181.0) -> None:
+        obj = self.objects[name] if name else self.current_object
+        obj.smooth = True
+        obj.smooth_angle = angle
+
+    def add_instance(self, base_name: str, matrix) -> None:
+        self.instances.append((base_name, np.asarray(matrix, np.float32).reshape(4, 4)))
+
+    # ------------------------------------------------------------------
+    def compile(self, camera_name: Optional[str] = None) -> SceneData:
+        """Freeze the staged scene into SceneData (Scene::setupRender +
+        updateObjects analogue)."""
+        mat_table, light_mat_emit = self._build_materials()
+        geom_np, obj_face_ranges = self._build_geometry()
+        lights, extra_geom = self._build_lights(obj_face_ranges, geom_np)
+        if extra_geom is not None:
+            geom_np = extra_geom
+        geom = self._geometry_to_device(geom_np)
+        background = (make_background(self.background_params,
+                                      tex_id=self._bg_tex_id())
+                      if self.background_params is not None
+                      else Background(kind="none"))
+        if camera_name is None and self.cameras:
+            camera_name = next(iter(self.cameras))
+        camera = (make_camera(self.cameras[camera_name]) if camera_name
+                  else Camera(kind="perspective"))
+        textures, nodes, mat_table = self._build_textures_and_nodes(mat_table)
+        volumes = self._build_volumes()
+        scene = SceneData(
+            geom=geom, materials=mat_table, lights=lights,
+            background=background, camera=camera, textures=textures,
+            nodes=nodes, volumes=volumes, bvh=None, accel_kind="brute",
+            shadow_bias=jnp.float32(self.render_params.get_float(
+                "shadow_bias", 5e-4)),
+            ray_min_dist=jnp.float32(self.render_params.get_float(
+                "ray_min_dist", 5e-5)),
+        )
+        accel = self.render_params.get_string("scene_accelerator",
+                                              self.accel_kind)
+        if accel in ("bvh", "yafaray-kdtree-original",
+                     "yafaray-kdtree-multi-thread") and geom.num_faces > 0:
+            from .accel.lbvh import build_lbvh
+            bvh = build_lbvh(geom)
+            scene = scene.replace(bvh=bvh, accel_kind="bvh")
+        return scene
+
+    # ------------------------------------------------------------------
+    def _build_materials(self):
+        n = max(len(self.material_order), 1)
+        z = lambda: np.zeros((n,), np.float32)
+        z3 = lambda: np.zeros((n, 3), np.float32)
+        zi = lambda v=0: np.full((n,), v, np.int32)
+        cols = dict(
+            mat_type=zi(), bsdf_flags=zi(),
+            diffuse_color=z3(), glossy_color=z3(), mirror_color=z3(),
+            filter_color=z3(), absorption=z3(), emit_color=z3(),
+            specular_refl=z(), transparency=z(), translucency=z(),
+            diffuse_reflect=z(), glossy_reflect=z(), exponent=z(),
+            exp_u=z(), exp_v=z(), alpha=z(), ior=z() + 1.5, dispersion=z(),
+            mat_flags=zi(), sigma=z(),
+            wireframe=np.zeros((n, 4), np.float32),
+            blend_a=zi(), blend_b=zi(), blend_value=z(),
+            sampling_factor=z() + 1.0,
+            node_diffuse=zi(-1), node_glossy=zi(-1), node_mirror=zi(-1),
+            node_bump=zi(-1), node_transparency=zi(-1),
+            node_translucency=zi(-1), node_mirror_strength=zi(-1),
+            node_sigma_oren=zi(-1), node_diffuse_reflect=zi(-1),
+            node_glossy_reflect=zi(-1), node_blend=zi(-1), node_exponent=zi(-1),
+            node_ior=zi(-1), node_filter_color=zi(-1),
+        )
+        has_blend = has_mask = False
+        light_mat_emit: Dict[int, np.ndarray] = {}
+        if not self.material_order:
+            # default diffuse gray
+            cols["mat_type"][0] = MAT_SHINY_DIFFUSE
+            cols["diffuse_color"][0] = (0.8, 0.8, 0.8)
+            cols["diffuse_reflect"][0] = 1.0
+        for i, name in enumerate(self.material_order):
+            pm = self.materials[name]
+            ty = _MAT_TYPE_BY_NAME[pm.get_string("type")]
+            cols["mat_type"][i] = ty
+            flags = 0
+            if ty == MAT_SHINY_DIFFUSE:
+                # material_shiny_diffuse.cc params
+                cols["diffuse_color"][i] = pm.get_color("color", (0.8, 0.8, 0.8))[:3]
+                cols["mirror_color"][i] = pm.get_color("mirror_color", (1, 1, 1))[:3]
+                cols["specular_refl"][i] = pm.get_float("specular_reflect", 0.0)
+                cols["transparency"][i] = pm.get_float("transparency", 0.0)
+                cols["translucency"][i] = pm.get_float("translucency", 0.0)
+                cols["diffuse_reflect"][i] = pm.get_float("diffuse_reflect", 1.0)
+                cols["emit_color"][i] = (pm.get_float("emit", 0.0)
+                                         * pm.get_color("color", (0.8, 0.8, 0.8))[:3])
+                cols["sigma"][i] = pm.get_float("sigma", 0.0) \
+                    if pm.get_string("diffuse_brdf", "lambert") == "oren_nayar" else 0.0
+                cols["ior"][i] = pm.get_float("IOR", 1.33)
+                if pm.get_bool("fresnel_effect", False):
+                    flags |= FLAG_FRESNEL
+                cols["filter_color"][i] = pm.get_color(
+                    "transmit_filter", (1, 1, 1))[:3] * pm.get_float("transmit_filter_strength", 1.0) \
+                    if "transmit_filter" in pm else (1, 1, 1)
+            elif ty in (MAT_GLOSSY, MAT_COATED_GLOSSY):
+                cols["diffuse_color"][i] = pm.get_color("diffuse_color", (0.5,) * 3)[:3]
+                cols["glossy_color"][i] = pm.get_color("color", (1, 1, 1))[:3]
+                cols["mirror_color"][i] = pm.get_color("mirror_color", (1, 1, 1))[:3]
+                cols["diffuse_reflect"][i] = pm.get_float("diffuse_reflect", 1.0)
+                cols["glossy_reflect"][i] = pm.get_float("glossy_reflect", 1.0)
+                cols["exponent"][i] = pm.get_float("exponent", 50.0)
+                cols["ior"][i] = pm.get_float("IOR", 1.5)
+                cols["sigma"][i] = pm.get_float("sigma", 0.0) \
+                    if pm.get_string("diffuse_brdf", "lambert") == "oren_nayar" else 0.0
+                if pm.get_bool("anisotropic", False):
+                    flags |= FLAG_ANISOTROPIC
+                    cols["exp_u"][i] = pm.get_float("exp_u", 50.0)
+                    cols["exp_v"][i] = pm.get_float("exp_v", 50.0)
+                if pm.get_bool("as_diffuse", True):
+                    flags |= FLAG_AS_DIFFUSE
+            elif ty in (MAT_GLASS, MAT_ROUGH_GLASS):
+                cols["ior"][i] = pm.get_float("IOR", 1.5)
+                cols["filter_color"][i] = pm.get_color("filter_color", (1, 1, 1))[:3]
+                cols["mirror_color"][i] = pm.get_color("mirror_color", (1, 1, 1))[:3]
+                cols["absorption"][i] = pm.get_color("absorption", (0, 0, 0))[:3]
+                cols["dispersion"][i] = pm.get_float("dispersion_power", 0.0)
+                cols["alpha"][i] = max(pm.get_float("alpha", 0.25), 1e-4)
+                if pm.get_bool("fake_shadows", False):
+                    flags |= FLAG_FAKE_SHADOWS
+            elif ty == MAT_MIRROR:
+                cols["mirror_color"][i] = pm.get_color("color", (1, 1, 1))[:3]
+                cols["specular_refl"][i] = pm.get_float("reflect", 1.0)
+            elif ty == MAT_LIGHT:
+                c = pm.get_color("color", (1, 1, 1))[:3] * pm.get_float("power", 1.0)
+                cols["emit_color"][i] = c
+                light_mat_emit[i] = c
+            elif ty in (MAT_BLEND, MAT_MASK):
+                has_blend = has_blend or ty == MAT_BLEND
+                has_mask = has_mask or ty == MAT_MASK
+                cols["blend_a"][i] = self._mat_id(pm.get_string("material1"))
+                cols["blend_b"][i] = self._mat_id(pm.get_string("material2"))
+                cols["blend_value"][i] = pm.get_float(
+                    "blend_value", pm.get_float("threshold", 0.5))
+            self._mat_bsdf_flags(cols, i, ty)
+            cols["mat_flags"][i] = flags
+        table = MaterialTable(
+            num_materials=n, has_blend=has_blend, has_mask=has_mask,
+            **{k: jnp.asarray(v) for k, v in cols.items()})
+        return table, light_mat_emit
+
+    @staticmethod
+    def _mat_bsdf_flags(cols, i, ty):
+        f = 0
+        if ty == MAT_SHINY_DIFFUSE:
+            f = BSDF_DIFFUSE | BSDF_REFLECT
+            if cols["specular_refl"][i] > 0:
+                f |= BSDF_SPECULAR
+            if cols["transparency"][i] > 0:
+                f |= BSDF_TRANSMIT
+        elif ty in (MAT_GLOSSY, MAT_COATED_GLOSSY):
+            f = BSDF_DIFFUSE | BSDF_GLOSSY | BSDF_REFLECT
+            if ty == MAT_COATED_GLOSSY:
+                f |= BSDF_SPECULAR
+        elif ty in (MAT_GLASS, MAT_ROUGH_GLASS, MAT_MIRROR):
+            f = BSDF_SPECULAR | BSDF_REFLECT | BSDF_TRANSMIT
+        elif ty == MAT_LIGHT:
+            f = BSDF_EMIT
+        cols["bsdf_flags"][i] = f
+
+    # ------------------------------------------------------------------
+    def _build_geometry(self):
+        """Concatenate all meshes (+instances baked) into flat arrays."""
+        all_v: List[np.ndarray] = []
+        all_n: List[np.ndarray] = []
+        all_uv: List[np.ndarray] = [np.zeros((1, 2), np.float32)]
+        all_f: List[np.ndarray] = []
+        all_fuv: List[np.ndarray] = []
+        all_fmat: List[np.ndarray] = []
+        all_fobj: List[np.ndarray] = []
+        all_fsmooth: List[np.ndarray] = []
+        all_fvis: List[np.ndarray] = []
+        sph = dict(center=[], radius=[], mat=[], obj=[], vis=[])
+        obj_face_ranges: Dict[str, Tuple[int, int]] = {}
+        v_off = 0
+        uv_off = 1
+        f_count = 0
+
+        def emit_mesh(obj: _MeshObject, matrix: Optional[np.ndarray]):
+            nonlocal v_off, uv_off, f_count
+            if obj.is_sphere:
+                c = obj.sphere_center.astype(np.float32)
+                r = obj.sphere_radius
+                if matrix is not None:
+                    c = (matrix[:3, :3] @ c) + matrix[:3, 3]
+                    r = r * float(np.cbrt(abs(np.linalg.det(matrix[:3, :3])) + 1e-30))
+                mat = obj.faces[-1][6] if obj.faces else obj.sphere_mat
+                sph["center"].append(c)
+                sph["radius"].append(r)
+                sph["mat"].append(mat)
+                sph["obj"].append(obj.obj_id)
+                sph["vis"].append(_vis_bits(obj.visibility))
+                return
+            if not obj.faces:
+                return
+            v = np.asarray(obj.vertices, np.float32).reshape(-1, 3)
+            if matrix is not None:
+                v = v @ matrix[:3, :3].T + matrix[:3, 3]
+            f = np.asarray([fc[:3] for fc in obj.faces], np.int32)
+            fuv = np.asarray([fc[3:6] for fc in obj.faces], np.int32)
+            fmat = np.asarray([fc[6] for fc in obj.faces], np.int32)
+            uv = (np.asarray(obj.uvs, np.float32).reshape(-1, 2)
+                  if obj.uvs else np.zeros((0, 2), np.float32))
+            # vertex normals: streamed, else computed (area-weighted) if smooth
+            if obj.normals and len(obj.normals) == len(obj.vertices):
+                n_arr = np.asarray(obj.normals, np.float32).reshape(-1, 3)
+                if matrix is not None:
+                    inv_t = np.linalg.inv(matrix[:3, :3]).T
+                    n_arr = n_arr @ inv_t.T
+                    n_arr /= np.maximum(
+                        np.linalg.norm(n_arr, axis=-1, keepdims=True), 1e-20)
+                smooth_flag = True
+            elif obj.smooth:
+                n_arr = _smooth_normals(v, f, obj.smooth_angle)
+                smooth_flag = True
+            else:
+                n_arr = np.zeros_like(v)
+                smooth_flag = False
+            start = f_count
+            all_v.append(v)
+            all_n.append(n_arr)
+            if uv.size:
+                all_uv.append(uv)
+            all_f.append(f + v_off)
+            all_fuv.append(np.where(fuv >= 0, fuv + uv_off, 0))
+            all_fmat.append(fmat)
+            all_fobj.append(np.full((len(f),), obj.obj_id, np.int32))
+            all_fsmooth.append(np.full((len(f),), smooth_flag, bool))
+            all_fvis.append(np.full((len(f),), _vis_bits(obj.visibility), np.int32))
+            v_off += len(v)
+            uv_off += len(uv)
+            f_count += len(f)
+            if matrix is None:
+                obj_face_ranges[obj.name] = (start, len(f))
+
+        for name in self.object_order:
+            emit_mesh(self.objects[name], None)
+        for base, mtx in self.instances:
+            emit_mesh(self.objects[base], mtx)
+
+        geom_np = dict(
+            vertices=np.concatenate(all_v) if all_v else np.zeros((1, 3), np.float32),
+            normals=np.concatenate(all_n) if all_n else np.zeros((1, 3), np.float32),
+            uvs=np.concatenate(all_uv),
+            faces=np.concatenate(all_f) if all_f else np.zeros((0, 3), np.int32),
+            face_uvs=np.concatenate(all_fuv) if all_fuv else np.zeros((0, 3), np.int32),
+            face_mat=np.concatenate(all_fmat) if all_fmat else np.zeros((0,), np.int32),
+            face_obj=np.concatenate(all_fobj) if all_fobj else np.zeros((0,), np.int32),
+            face_smooth=np.concatenate(all_fsmooth) if all_fsmooth else np.zeros((0,), bool),
+            face_vis=np.concatenate(all_fvis) if all_fvis else np.zeros((0,), np.int32),
+            face_light=np.full((f_count,), -1, np.int32),
+            sph_center=(np.stack(sph["center"]) if sph["center"]
+                        else np.zeros((0, 3), np.float32)),
+            sph_radius=np.asarray(sph["radius"], np.float32),
+            sph_mat=np.asarray(sph["mat"], np.int32),
+            sph_obj=np.asarray(sph["obj"], np.int32),
+            sph_vis=np.asarray(sph["vis"], np.int32),
+            sph_light=np.full((len(sph["radius"]),), -1, np.int32),
+            obj_visibility=np.asarray(
+                [self.objects[n].visibility for n in self.object_order] or [0],
+                np.int32),
+        )
+        return geom_np, obj_face_ranges
+
+    def _geometry_to_device(self, g) -> Geometry:
+        return Geometry(
+            num_faces=int(len(g["faces"])), num_spheres=int(len(g["sph_radius"])),
+            **{k: jnp.asarray(v) for k, v in g.items()})
+
+    # ------------------------------------------------------------------
+    def _build_lights(self, obj_face_ranges, geom_np):
+        """Parse light ParamMaps into the SoA LightTable; auto-create the
+        emissive geometry for area lights (intersectable for MIS, mirroring
+        the reference's AreaLight object binding)."""
+        specs = []
+        bg_light_idx = -1
+        for name in self.light_order:
+            specs.append((name, self.lights[name]))
+        if (self.background_params is not None
+                and self.background_params.get_bool("ibl", False)):
+            specs.append(("__bglight__", P.ParamMap(
+                {"type": "bglight",
+                 "samples": self.background_params.get_int("ibl_samples", 16),
+                 "cast_shadows": self.background_params.get_bool("cast_shadows", True)})))
+        n = max(len(specs), 1)
+        z = lambda: np.zeros((n,), np.float32)
+        z3 = lambda: np.zeros((n, 3), np.float32)
+        zi = lambda v=0: np.full((n,), v, np.int32)
+        cols = dict(light_type=zi(), position=z3(), direction=z3(), color=z3(),
+                    edge1=z3(), edge2=z3(), radius=z(), cos_start=z(),
+                    cos_end=z(), falloff=z(), area=z(), flags=zi(),
+                    samples=zi(1), obj_id=zi(-1), tri_start=zi(0),
+                    tri_count=zi(0), ies_id=zi(-1))
+        extra_faces = []
+
+        for i, (name, pm) in enumerate(specs):
+            ty = pm.get_string("type")
+            flags = FLAG_ENABLED if pm.get_bool("light_enabled", True) else 0
+            if pm.get_bool("cast_shadows", True):
+                flags |= FLAG_CAST_SHADOWS
+            if pm.get_bool("photon_only", False):
+                flags |= FLAG_PHOTON_ONLY
+            col = pm.get_color("color", (1, 1, 1))[:3]
+            power = pm.get_float("power", 1.0)
+            if ty == "pointlight":
+                cols["light_type"][i] = LIGHT_POINT
+                cols["position"][i] = pm.get_vector("from")
+                cols["color"][i] = col * power
+            elif ty == "ieslight":
+                cols["light_type"][i] = LIGHT_IES
+                cols["position"][i] = pm.get_vector("from")
+                to = pm.get_vector("to", (0, 0, 0))
+                d = to - pm.get_vector("from")
+                cols["direction"][i] = d / max(np.linalg.norm(d), 1e-12)
+                cols["color"][i] = col * power
+            elif ty == "spotlight":
+                cols["light_type"][i] = LIGHT_SPOT
+                fr = pm.get_vector("from")
+                to = pm.get_vector("to", (0, 0, 0))
+                d = to - fr
+                cols["position"][i] = fr
+                cols["direction"][i] = d / max(np.linalg.norm(d), 1e-12)
+                cone = pm.get_float("cone_angle", 45.0) * math.pi / 180.0
+                blend = pm.get_float("blend", 0.15)
+                cols["cos_end"][i] = math.cos(cone)
+                cols["cos_start"][i] = math.cos(cone * (1.0 - blend))
+                cols["falloff"][i] = pm.get_float("falloff", 1.0)
+                cols["color"][i] = col * power
+            elif ty in ("sunlight",):
+                cols["light_type"][i] = LIGHT_SUN
+                d = pm.get_vector("direction", (0, 0, 1))
+                d = d / max(np.linalg.norm(d), 1e-12)
+                cols["direction"][i] = -d  # stored: direction light travels
+                ang = pm.get_float("angle", 0.27) * math.pi / 180.0
+                cos_a = math.cos(ang)
+                cols["cos_start"][i] = cos_a
+                # radiance so that irradiance matches power (light_sun.cc)
+                omega = 2 * math.pi * (1 - cos_a)
+                cols["color"][i] = col * power / max(omega, 1e-9)
+                cols["samples"][i] = pm.get_int("samples", 4)
+            elif ty == "directional":
+                cols["light_type"][i] = LIGHT_DIRECTIONAL
+                d = pm.get_vector("direction", (0, 0, 1))
+                d = d / max(np.linalg.norm(d), 1e-12)
+                cols["direction"][i] = -d
+                cols["color"][i] = col * power
+            elif ty == "arealight":
+                cols["light_type"][i] = LIGHT_AREA
+                corner = pm.get_vector("corner")
+                p1 = pm.get_vector("point1")
+                p2 = pm.get_vector("point2")
+                e1 = p1 - corner
+                e2 = p2 - corner
+                nrm = np.cross(e1, e2)
+                area = float(np.linalg.norm(nrm))
+                cols["position"][i] = corner
+                cols["edge1"][i] = e1
+                cols["edge2"][i] = e2
+                cols["direction"][i] = nrm / max(area, 1e-12)
+                cols["area"][i] = area
+                cols["color"][i] = col * power  # stored radiance
+                cols["samples"][i] = pm.get_int("samples", 4)
+                extra_faces.append((i, corner, p1, p2, col * power))
+            elif ty == "spherelight":
+                cols["light_type"][i] = LIGHT_SPHERE
+                c = pm.get_vector("from")
+                r = pm.get_float("radius", 1.0)
+                cols["position"][i] = c
+                cols["radius"][i] = r
+                area = 4.0 * math.pi * r * r
+                cols["area"][i] = area
+                cols["color"][i] = col * power / (area * math.pi)
+                cols["samples"][i] = pm.get_int("samples", 4)
+            elif ty in ("meshlight", "objectlight", "bgPortalLight"):
+                is_portal = ty == "bgPortalLight"
+                cols["light_type"][i] = LIGHT_BGPORTAL if is_portal else LIGHT_MESH
+                oname = pm.get_string("object_name")
+                if oname in obj_face_ranges:
+                    start, cnt = obj_face_ranges[oname]
+                    cols["tri_start"][i] = start
+                    cols["tri_count"][i] = cnt
+                    cols["obj_id"][i] = self.objects[oname].obj_id
+                    # total area for MIS pdf
+                    v = geom_np["vertices"]
+                    f = geom_np["faces"][start:start + cnt]
+                    e1 = v[f[:, 1]] - v[f[:, 0]]
+                    e2 = v[f[:, 2]] - v[f[:, 0]]
+                    cols["area"][i] = float(
+                        0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
+                    geom_np["face_light"][start:start + cnt] = i
+                if not is_portal:
+                    cols["color"][i] = col * power
+                if pm.get_bool("double_sided", False):
+                    flags |= FLAG_DOUBLE_SIDED
+                cols["samples"][i] = pm.get_int("samples", 4)
+            elif ty == "bglight":
+                cols["light_type"][i] = LIGHT_BACKGROUND
+                bg_light_idx = i
+                cols["samples"][i] = pm.get_int("samples", 16)
+            else:
+                raise KeyError(f"light: unknown type {ty!r}")
+            cols["flags"][i] = flags
+        if not specs:
+            cols["flags"][0] = 0  # disabled placeholder
+
+        # bake area-light emissive quads into geometry
+        if extra_faces:
+            geom_np = self._append_light_quads(geom_np, extra_faces)
+
+        lights = LightTable(
+            num_lights=len(specs), bg_light_idx=bg_light_idx,
+            ies_pool=jnp.zeros((1, 32), jnp.float32),
+            **{k: jnp.asarray(v) for k, v in cols.items()})
+        return lights, geom_np
+
+    def _append_light_quads(self, g, extra):
+        """Two emissive triangles per area light so BSDF rays can hit it
+        (MIS); they don't cast shadows on themselves via exclude_prim."""
+        v_off = len(g["vertices"])
+        f_off = len(g["faces"])
+        new_v, new_f, new_light = [], [], []
+        for li, corner, p1, p2, rad in extra:
+            c = np.asarray(corner, np.float32)
+            e1 = np.asarray(p1, np.float32) - c
+            e2 = np.asarray(p2, np.float32) - c
+            base = v_off + len(new_v)
+            new_v += [c, c + e1, c + e1 + e2, c + e2]
+            new_f += [(base, base + 1, base + 2), (base, base + 2, base + 3)]
+            new_light += [li, li]
+        nv = np.asarray(new_v, np.float32)
+        nf = np.asarray(new_f, np.int32)
+        cnt = len(nf)
+        g["vertices"] = np.concatenate([g["vertices"], nv])
+        g["normals"] = np.concatenate([g["normals"], np.zeros_like(nv)])
+        g["faces"] = np.concatenate([g["faces"], nf]) if len(g["faces"]) else nf
+        g["face_uvs"] = np.concatenate([g["face_uvs"], np.zeros((cnt, 3), np.int32)])
+        g["face_mat"] = np.concatenate([g["face_mat"], np.zeros((cnt,), np.int32)])
+        g["face_obj"] = np.concatenate([g["face_obj"], np.full((cnt,), -1, np.int32)])
+        g["face_smooth"] = np.concatenate([g["face_smooth"], np.zeros((cnt,), bool)])
+        # light quads: visible to camera rays, no shadow casting onto scene
+        g["face_vis"] = np.concatenate([g["face_vis"], np.full((cnt,), 1, np.int32)])
+        g["face_light"] = np.concatenate([g["face_light"],
+                                          np.asarray(new_light, np.int32)])
+        return g
+
+    # ------------------------------------------------------------------
+    def _bg_tex_id(self) -> int:
+        if self.background_params is None:
+            return -1
+        tname = self.background_params.get_string("texture", "")
+        if tname and tname in self.texture_order:
+            return self.texture_order.index(tname)
+        return -1
+
+    def _build_textures_and_nodes(self, mat_table):
+        from .textures import build_texture_pool
+        from .materials.nodes import build_node_program
+        textures = build_texture_pool(self)
+        nodes, mat_table = build_node_program(self, mat_table)
+        return textures, nodes, mat_table
+
+    def _build_volumes(self):
+        if not self.volumes:
+            return None
+        from .volumes import build_volume_table
+        return build_volume_table(self)
+
+
+def _vis_bits(vis: int) -> int:
+    """Visibility enum -> (camera_visible | casts_shadow) bitmask."""
+    return {VIS_NORMAL: 3, VIS_INVISIBLE: 0, VIS_SHADOW_ONLY: 2,
+            VIS_NO_SHADOWS: 1}[vis]
+
+
+def _smooth_normals(v: np.ndarray, f: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Area-weighted vertex normals (MeshObject::smoothNormals analogue,
+    src/geometry/object/object_mesh.cc:125). The angle threshold splits are
+    approximated: faces whose normal deviates more than `angle` from the
+    accumulated average fall back to flat shading at surface-point level."""
+    e1 = v[f[:, 1]] - v[f[:, 0]]
+    e2 = v[f[:, 2]] - v[f[:, 0]]
+    fn = np.cross(e1, e2)  # area-weighted
+    n = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(n, f[:, k], fn)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.maximum(norm, 1e-20)).astype(np.float32)
