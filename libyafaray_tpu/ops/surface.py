@@ -46,7 +46,12 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
     tri = jnp.where(is_tri, hit.prim, 0)
     sph = jnp.clip(hit.prim - f, 0, max(g.num_spheres - 1, 0))
 
-    p = ray_o + ray_d * hit.t[..., None]
+    # Invalid lanes carry t = t_max (possibly 1e30): clamp before forming
+    # positions so no inf/huge values enter downstream math — their vjp
+    # would poison the gradients of whatever material row the dummy
+    # mat_id 0 gather points at (0 * inf = NaN in the chain rule).
+    t_safe = jnp.where(hit.valid, hit.t, 1.0)
+    p = ray_o + ray_d * t_safe[..., None]
 
     # --- triangle branch (vectorized, masked) ---
     fidx = g.faces[tri]                      # [N,3]

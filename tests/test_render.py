@@ -1,0 +1,148 @@
+"""End-to-end render tests: golden-property checks, accelerator oracle
+agreement, determinism, differentiability, and sharded parity.
+
+What the reference never had (SURVEY.md §4: its tests only check "runs
+without crashing") — numeric assertions against the brute-force oracle and
+finite-difference gradient checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libyafaray_tpu import film as F, make_integrator
+from libyafaray_tpu.cameras import shoot_rays
+from libyafaray_tpu.integrators.mc import integrate
+from libyafaray_tpu.render import render
+
+from scenes import cornell_builder
+
+RES = 32
+
+
+def _render(spp=4, accel=None, kind="pathtracing", bounces=3, res=RES):
+    b = cornell_builder()
+    if accel:
+        b.set_render_params({"scene_accelerator": accel})
+    b.cameras["cam"]["resx"] = res
+    b.cameras["cam"]["resy"] = res
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": kind, "bounces": bounces})
+    film = render(scene, cfg, res, res, spp=spp)
+    return np.asarray(F.resolve(film, "combined"))
+
+
+def test_cornell_color_bleed():
+    img = _render(spp=8)
+    assert np.isfinite(img).all()
+    left = img[:, :6, :3].mean(axis=(0, 1))
+    right = img[:, -6:, :3].mean(axis=(0, 1))
+    assert left[0] > left[1] * 1.2, f"left wall not red: {left}"
+    assert right[1] > right[0] * 1.2, f"right wall not green: {right}"
+    # interior alpha is 1 (closed box fills the view)
+    assert img[..., 3].min() > 0.99
+
+
+def test_bvh_matches_brute_oracle():
+    i1 = _render(spp=2, accel=None)
+    i2 = _render(spp=2, accel="bvh")
+    assert np.abs(i1 - i2).max() < 1e-4
+
+
+def test_deterministic():
+    i1 = _render(spp=2)
+    i2 = _render(spp=2)
+    assert np.array_equal(i1, i2)
+
+
+def test_directlight_darker_than_path():
+    dl = _render(spp=4, kind="directlighting")
+    pt = _render(spp=4, kind="pathtracing")
+    assert dl[..., :3].mean() < pt[..., :3].mean()
+
+
+def test_light_visible_at_radiance():
+    # ceiling light quad seen directly reads the stored radiance col*power
+    img = _render(spp=4, res=48)
+    assert img[..., :3].max() == pytest.approx(12.0, rel=1e-3)
+
+
+def test_gradient_matches_finite_difference():
+    b = cornell_builder()
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "pathtracing", "bounces": 2})
+    n = 64
+    yy, xx = jnp.meshgrid(jnp.arange(8), jnp.arange(8), indexing="ij")
+    pid = (yy * 8 + xx).reshape(-1).astype(jnp.uint32)
+    px = xx.reshape(-1).astype(jnp.float32) * 8 + 4.0
+    py = yy.reshape(-1).astype(jnp.float32) * 8 + 4.0
+    o, d, valid = shoot_rays(scene.camera, px, py,
+                             jnp.zeros(n) + 0.5, jnp.zeros(n) + 0.5)
+
+    def loss(dc):
+        sc = scene.replace(
+            materials=scene.materials.replace(diffuse_color=dc))
+        rgb, _, _ = integrate(sc, cfg, o, d, valid, pid, jnp.uint32(0))
+        return jnp.mean(rgb)
+
+    dc = scene.materials.diffuse_color
+    g = jax.jit(jax.grad(loss))(dc)
+    assert np.isfinite(np.asarray(g)).all(), "NaN in gradient"
+    e = 1e-3
+    for (i, c) in [(0, 0), (1, 1)]:
+        fd = (loss(dc.at[i, c].add(e)) - loss(dc.at[i, c].add(-e))) / (2 * e)
+        assert float(g[i, c]) == pytest.approx(float(fd), rel=5e-3, abs=1e-5)
+
+
+def test_sharded_render_matches_single_device():
+    """8-way sharded wavefront == the same per-shard body run unsharded.
+    Small shapes + 1 bounce: the shard_map SPMD compile dominates runtime."""
+    from libyafaray_tpu.parallel import (_pixel_shard_radiance, make_mesh,
+                                         render_wavefront_sharded)
+    from libyafaray_tpu import sampler
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev)
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 8
+    b.cameras["cam"]["resy"] = 8
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "pathtracing", "bounces": 1})
+    with mesh:
+        rgb_sh, alpha_sh = render_wavefront_sharded(
+            scene, cfg, 8, 8, jnp.uint32(0), mesh)
+    yy, xx = jnp.meshgrid(jnp.arange(8), jnp.arange(8), indexing="ij")
+    pid = (yy * 8 + xx).reshape(-1).astype(jnp.uint32)
+    scr = sampler.pcg4d(jnp.stack(
+        [pid, jnp.full_like(pid, 0x9E3779B9),
+         jnp.full_like(pid, 7), jnp.full_like(pid, 11)], -1))[..., 0]
+    ju, jv = sampler.ld02(jnp.uint32(0), scr)
+    px = xx.reshape(-1).astype(jnp.float32) + ju
+    py = yy.reshape(-1).astype(jnp.float32) + jv
+    rgb_1, alpha_1, _ = jax.jit(
+        lambda: _pixel_shard_radiance(scene, cfg, px, py, pid,
+                                      jnp.uint32(0)))()
+    np.testing.assert_allclose(np.asarray(rgb_sh), np.asarray(rgb_1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_reduces_loss():
+    from libyafaray_tpu.parallel import make_mesh, make_train_step
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev)
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 8
+    b.cameras["cam"]["resy"] = 8
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "pathtracing", "bounces": 1})
+    step = make_train_step(cfg, 8, 8, mesh, lr=0.05)
+    params = {"diffuse_color": scene.materials.diffuse_color}
+    target = jnp.full((8, 8, 3), 0.25, jnp.float32)
+    losses = []
+    with mesh:
+        # fixed sample index: the loss is then deterministic in params, so
+        # small-step SGD must descend (a stochastic per-step estimator can
+        # legitimately fluctuate upward)
+        for it in range(3):
+            params, loss = step(scene, params, target, jnp.uint32(0))
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
