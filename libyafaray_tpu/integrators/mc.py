@@ -52,6 +52,17 @@ class IntegratorConfig:
     aov_layers: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     transp_background: bool = struct.field(pytree_node=False, default=False)
     clamp_indirect: float = struct.field(pytree_node=False, default=0.0)
+    # volume integrator (reference: a separate VolumeIntegrator entity;
+    # factory types EmissionIntegrator / SingleScatterIntegrator / SkyIntegrator)
+    vol_kind: str = struct.field(pytree_node=False, default="single_scatter")
+    vol_steps: int = struct.field(pytree_node=False, default=16)
+    # photon mapping (integrator_photon_mapping.cc params)
+    n_photons: int = struct.field(pytree_node=False, default=100_000)
+    pm_radius: float = struct.field(pytree_node=False, default=0.05)
+    pm_bounces: int = struct.field(pytree_node=False, default=5)
+    # path tracer caustic modes: "none"|"path"|"photon"|"both"
+    # (integrator_path_tracer.cc:325-345)
+    caustic_type: str = struct.field(pytree_node=False, default="path")
 
 
 def make_integrator(pm: dict) -> IntegratorConfig:
@@ -76,6 +87,18 @@ def make_integrator(pm: dict) -> IntegratorConfig:
         ao_color=tuple(pm.get_color("AO_color", (1, 1, 1))[:3].tolist()),
         no_recursive=pm.get_bool("no_recursive", False),
         clamp_indirect=pm.get_float("clamp_indirect", 0.0),
+        vol_kind={"EmissionIntegrator": "emission",
+                  "SingleScatterIntegrator": "single_scatter",
+                  "SkyIntegrator": "single_scatter",
+                  "none": "none"}.get(
+            pm.get_string("volume_integrator", "SingleScatterIntegrator"),
+            "single_scatter"),
+        vol_steps=pm.get_int("volume_steps", 16),
+        n_photons=pm.get_int("photons", 100_000),
+        pm_radius=pm.get_float("diffuseRadius", pm.get_float("causticRadius",
+                                                             0.05)),
+        pm_bounces=pm.get_int("bounces", 5) if kind == "photonmapping" else 5,
+        caustic_type=pm.get_string("caustic_type", "path"),
     )
 
 
@@ -108,10 +131,17 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     n = ray_o.shape[0]
     num_lights = scene.lights.num_lights
     direct_only = cfg.kind == "directlighting"
+    # photon mapping: direct lighting + photon-map density estimates at
+    # diffuse hits, specular-only continuation (the non-final-gather mode of
+    # integrator_photon_mapping.cc; FG is a later refinement)
+    photon_mode = (cfg.kind == "photonmapping"
+                   and scene.photons is not None)
+    direct_only = direct_only or cfg.kind == "photonmapping"
 
     radiance = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = ray_valid
+    first_hit_t = jnp.full((n,), 1e30, jnp.float32)
     alpha = jnp.zeros((n,), jnp.float32)
     o, d = ray_o, ray_d
     prev_prim = jnp.full((n,), -1, jnp.int32)
@@ -148,6 +178,7 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                 escaped[..., None], throughput * bg_rad * bg_mis[..., None], 0.0)
         if depth == 0:
             aux = _first_hit_layers(scene, cfg, sp, d)
+            first_hit_t = jnp.where(hit.valid, hit.t, first_hit_t)
         alpha = jnp.where(hit.valid & (depth == 0), 1.0, alpha)
         # keep alpha 1 for lanes that bounced at least once then escaped
         alpha = jnp.where((depth > 0) & alive, jnp.maximum(alpha, 1.0), alpha)
@@ -187,6 +218,16 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                 radiance = radiance + jnp.where(alive[..., None],
                                                 throughput * c * num_lights
                                                 * (1.0 / num_lights), 0.0)
+
+        # --- photon-map estimates at diffuse hits (photonmapping mode) ---
+        if photon_mode:
+            from .. import photon as PH
+            ind = PH.estimate_radiance(scene.photons.diffuse, scene, sp, wo,
+                                       scene.photons.n_emitted)
+            cau = PH.estimate_radiance(scene.photons.caustic, scene, sp, wo,
+                                       scene.photons.n_emitted)
+            radiance = radiance + jnp.where(alive[..., None],
+                                            throughput * (ind + cau), 0.0)
 
         # --- ambient occlusion (direct-light integrator option) ---
         if cfg.use_ao and depth == 0:
@@ -230,6 +271,12 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         d = ms.wi
 
     alpha = jnp.clip(alpha, 0.0, 1.0)
+    # volumetric wrap-up over the camera segment (applyVolumetricEffects,
+    # integrator_tiled.cc:694): L = T(seg) * L_surface + L_volume(seg)
+    if scene.volumes is not None and cfg.vol_kind != "none":
+        from .volume import apply_volumetric
+        radiance = apply_volumetric(scene, cfg, radiance, ray_o, ray_d,
+                                    first_hit_t, pixel_id, sample_idx)
     return radiance, alpha, aux
 
 

@@ -111,6 +111,17 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: int, height: int,
                            computer_node)
     cfg = cfg.replace(aov_layers=tuple(n for n in layer_names
                                        if n not in ("combined",)))
+    # photon-map preprocess (SurfaceIntegrator::preprocess analogue,
+    # integrator_photon_mapping.cc:242)
+    if cfg.kind == "photonmapping" and scene.photons is None:
+        from . import photon as PH
+        from .scene_types import PhotonData
+        dmap, cmap, n_emit, _ = jax.jit(
+            lambda s: PH.make_maps(s, cfg.n_photons, cfg.n_photons,
+                                   cfg.pm_bounces, cfg.pm_radius),
+            static_argnums=())(scene)
+        scene = scene.replace(photons=PhotonData(
+            diffuse=dmap, caustic=cmap, n_emitted=cfg.n_photons))
     if aa is None:
         aa = AAParams(aa_samples=spp, aa_passes=1)
     ones = jnp.ones((height, width), jnp.float32)

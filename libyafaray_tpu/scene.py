@@ -216,6 +216,14 @@ class SceneBuilder:
                   else Camera(kind="perspective"))
         textures, nodes, mat_table = self._build_textures_and_nodes(mat_table)
         volumes = self._build_volumes()
+        # env importance tables for texture-background IBL (alias method
+        # replacing the reference's Pdf1D row CDFs, light_background.cc:51-69)
+        if (background.kind == "texture" and background.tex_id >= 0
+                and textures is not None):
+            from .textures.build import build_env_tables
+            tname = self.texture_order[background.tex_id]
+            background = build_env_tables(background, textures,
+                                          self.texture_images, tname)
         scene = SceneData(
             geom=geom, materials=mat_table, lights=lights,
             background=background, camera=camera, textures=textures,

@@ -260,7 +260,14 @@ class TexturePool:
     interp: Array              # i32[T] 0 none,1 bilinear,2 bicubic,3 trilinear,4 EWA
     extend: Array              # i32[T] 0 repeat,1 extend/clamp,2 clip,3 checker
     gamma_applied: Array       # already-linearized marker (informational)
+    # post adjustments (reference adj_* params, texture.h applyAdjustments):
+    # [mult_r, mult_g, mult_b, intensity, contrast, saturation, hue, clamp]
+    adj: Array = None          # f32[T, 8]
     num_textures: int = struct.field(pytree_node=False, default=0)
+    # static info so eval traces only the texture types / noise bases present
+    used_types: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    used_noise: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    max_octaves: int = struct.field(pytree_node=False, default=2)
 
 
 @struct.dataclass
@@ -280,6 +287,17 @@ class NodeProgram:
     params_f: Array     # f32[N, 24] mapper params (matrix, scale, offset, ...)
     params_i: Array     # i32[N, 8]  mapper enums (coords, projection, blend mode)
     num_nodes: int = struct.field(pytree_node=False, default=0)
+    # static copies of the dataflow-controlling columns so the evaluator's
+    # python loop specializes per node at trace time:
+    # meta[i] = (node_type, in_a, in_b, in_fac, tex_id)
+    meta: Tuple[Tuple[int, int, int, int, int], ...] = struct.field(
+        pytree_node=False, default=())
+    # imeta[i] = tuple(params_i[i]) (coords/projection/blend-mode/flags)
+    imeta: Tuple[Tuple[int, ...], ...] = struct.field(
+        pytree_node=False, default=())
+    # static: does any material bind a bump node? (skips the 2 extra
+    # program evaluations of eval_bump when false)
+    has_bump: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -317,6 +335,15 @@ class BVH:
 
 
 @struct.dataclass
+class PhotonData:
+    """Preprocessed photon maps (PhotonIntegrator::preprocess output):
+    diffuse (indirect, non-caustic) + caustic maps, photon.PhotonMap each."""
+    diffuse: Any
+    caustic: Any
+    n_emitted: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
 class SceneData:
     """Everything the integrator needs, as one frozen pytree."""
     geom: Geometry
@@ -328,6 +355,7 @@ class SceneData:
     nodes: Optional[NodeProgram] = None
     volumes: Optional[VolumeTable] = None
     bvh: Optional[BVH] = None
+    photons: Optional[PhotonData] = None
     # which accelerator the intersect ops use: "bvh" | "brute"
     accel_kind: str = struct.field(pytree_node=False, default="brute")
     shadow_bias: Array = None   # f32 scalar

@@ -1,0 +1,120 @@
+"""Per-lane texture evaluation: masked dispatch + ramps + adjustments.
+
+The single entry point behind `textures.sample_texture`: every lane carries
+a dynamic texture id; procedural types are evaluated masked (only the types
+present in the pool are traced), image lanes gather from the texel pool.
+Then the Blender-style color ramp (src/color/color_ramp.cc) and the adj_*
+post adjustments (texture.h applyAdjustments) are applied.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..scene_types import SceneData
+from . import TEX_IMAGE
+from .image import sample_image
+from .procedural import eval_procedural
+
+Array = jax.Array
+
+
+def _rgb_to_hsv(c: Array):
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    safe = jnp.maximum(d, 1e-9)
+    h = jnp.where(mx == r, ((g - b) / safe) % 6.0,
+                  jnp.where(mx == g, (b - r) / safe + 2.0,
+                            (r - g) / safe + 4.0)) / 6.0
+    h = jnp.where(d <= 1e-9, 0.0, h)
+    s = jnp.where(mx > 1e-9, d / jnp.maximum(mx, 1e-9), 0.0)
+    return h, s, mx
+
+
+def _hsv_to_rgb(h: Array, s: Array, v: Array):
+    h6 = (h % 1.0) * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], -1)
+
+
+def apply_ramp(pool, tex_id: Array, inten: Array, col: Array) -> Array:
+    """Color-ramp remap of the texture intensity (color_ramp.cc, RGB/HSV
+    interpolation)."""
+    cnt = pool.ramp_count[tex_id]
+    has = cnt > 0
+    pos = pool.ramp_pos[tex_id]          # [N, RAMP_MAX]
+    cols = pool.ramp_col[tex_id]         # [N, RAMP_MAX, 4]
+    R = pos.shape[-1]
+    x = inten
+    # find segment: largest k with pos[k] <= x  (positions sorted)
+    idx = jnp.sum(((pos <= x[..., None])
+                   & (jnp.arange(R)[None, :] < cnt[..., None])).astype(jnp.int32),
+                  axis=-1) - 1
+    i0 = jnp.clip(idx, 0, R - 1)
+    i1 = jnp.clip(idx + 1, 0, R - 1)
+    i1 = jnp.minimum(i1, jnp.maximum(cnt - 1, 0))
+    lanes = jnp.arange(x.shape[0])
+    p0 = pos[lanes, i0]
+    p1 = pos[lanes, i1]
+    c0 = cols[lanes, i0]
+    c1 = cols[lanes, i1]
+    t = jnp.clip((x - p0) / jnp.maximum(p1 - p0, 1e-9), 0.0, 1.0)
+    t = jnp.where(i0 == i1, 0.0, t)
+    lin = c0 + (c1 - c0) * t[..., None]
+    # hsv interpolation mode
+    h0, s0, v0 = _rgb_to_hsv(c0[..., :3])
+    h1, s1, v1 = _rgb_to_hsv(c1[..., :3])
+    dh = h1 - h0
+    dh = jnp.where(dh > 0.5, dh - 1.0, jnp.where(dh < -0.5, dh + 1.0, dh))
+    hsv_rgb = _hsv_to_rgb(h0 + dh * t, s0 + (s1 - s0) * t, v0 + (v1 - v0) * t)
+    hsv = jnp.concatenate([hsv_rgb, lin[..., 3:]], -1)
+    mode = pool.ramp_mode[tex_id]
+    ramped = jnp.where((mode >= 1)[..., None], hsv, lin)
+    return jnp.where(has[..., None], ramped, col)
+
+
+def apply_adjustments(pool, tex_id: Array, col: Array) -> Array:
+    """adj_* multipliers: per-channel scale, intensity, contrast, saturation,
+    hue shift, clamp (reference Texture::applyAdjustments)."""
+    adj = pool.adj[tex_id]
+    rgb = col[..., :3] * adj[..., :3] * adj[..., 3:4]
+    rgb = (rgb - 0.5) * adj[..., 4:5] + 0.5
+    # saturation / hue in HSV space
+    needs_hsv = (adj[..., 5] != 1.0) | (adj[..., 6] != 0.0)
+    h, s, v = _rgb_to_hsv(jnp.maximum(rgb, 0.0))
+    rgb_hsv = _hsv_to_rgb(h + adj[..., 6], jnp.clip(s * adj[..., 5], 0, 1), v)
+    rgb = jnp.where(needs_hsv[..., None], rgb_hsv, rgb)
+    rgb = jnp.where((adj[..., 7] > 0)[..., None], jnp.clip(rgb, 0.0, 1.0), rgb)
+    return jnp.concatenate([rgb, col[..., 3:]], -1)
+
+
+def eval_textures(scene: SceneData, tex_id: Array, p: Array, uv: Array,
+                  lod: Array = None) -> Array:
+    """rgba per lane for dynamic texture ids."""
+    pool = scene.textures
+    if pool is None or pool.num_textures == 0:
+        return jnp.zeros(p.shape[:-1] + (4,), jnp.float32)
+    tex_id = jnp.clip(tex_id, 0, pool.num_textures - 1)
+    col, inten = eval_procedural(pool, tex_id, p, pool.used_types,
+                                 pool.used_noise, pool.max_octaves)
+    if TEX_IMAGE in pool.used_types:
+        img = sample_image(pool, tex_id, uv, lod)
+        is_img = pool.tex_type[tex_id] == TEX_IMAGE
+        col = jnp.where(is_img[..., None], img, col)
+        inten = jnp.where(is_img, img[..., :3].mean(-1), inten)
+    col = apply_ramp(pool, tex_id, inten, col)
+    col = apply_adjustments(pool, tex_id, col)
+    return col
