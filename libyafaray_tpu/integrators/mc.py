@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from .. import color as C
 from .. import lights as L
 from .. import sampler
 from ..backgrounds import eval_background
@@ -142,6 +143,12 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = ray_valid
     first_hit_t = jnp.full((n,), 1e30, jnp.float32)
+    # chromatic dispersion (MonteCarloIntegrator::dispersive branch,
+    # integrator_montecarlo.cc:664 + spectrum wl2Rgb): each path carries a
+    # wavelength; the first dispersive refraction collapses the path to it
+    # and tints the throughput by 3 * wl2rgb(wl) (spectral decomposition)
+    path_wl = sampler.rand1(pixel_id, sample_idx, 0, 555)
+    chromatic = jnp.zeros((n,), bool)
     alpha = jnp.zeros((n,), jnp.float32)
     o, d = ray_o, ray_d
     prev_prim = jnp.full((n,), -1, jnp.int32)
@@ -244,12 +251,16 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         # --- BSDF sampling / continuation ---
         u1, u2, u3, u_rr = jnp.moveaxis(
             sampler.rand4(pixel_id, sample_idx, depth, 2), -1, 0)
-        ms = B.sample_bsdf(scene, sp, wo, u1, u2, u3)
+        ms = B.sample_bsdf(scene, sp, wo, u1, u2, u3, wl=path_wl)
         cont = alive & ms.valid
         if direct_only or cfg.no_recursive:
             # only specular/delta continuation (recursiveRaytrace analogue)
             cont = cont & ms.is_delta
         new_thr = throughput * ms.weight
+        first_disperse = ms.dispersed & ~chromatic
+        new_thr = jnp.where(first_disperse[..., None],
+                            new_thr * C.wl_to_rgb(path_wl) * 3.0, new_thr)
+        chromatic = chromatic | ms.dispersed
         if cfg.clamp_indirect > 0.0 and depth > 0:
             mx = jnp.max(new_thr, axis=-1, keepdims=True)
             new_thr = jnp.where(mx > cfg.clamp_indirect,

@@ -1,0 +1,150 @@
+"""Image post-processing: Sobel edge layers, toon effect, badge banner.
+
+Replaces src/image/image_manipulation.cc (Sobel-based DebugFacesEdges /
+object-edge + toon layers :103-113) and src/common/badge.cc (render-stats
+banner drawn into outputs :47-148; the reference uses FreeType — here a
+built-in 5x7 bitmap font keeps the framework dependency-free). The optional
+OpenCV denoise of the reference (image_manipulation_opencv.cc) is a simple
+bilateral-ish filter fallback.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def sobel_edges(img: np.ndarray, threshold: float = 0.3) -> np.ndarray:
+    """Edge magnitude of an [H,W,C] image (DebugFacesEdges layer)."""
+    gray = np.asarray(img, np.float32)
+    if gray.ndim == 3:
+        gray = gray[..., :3].mean(-1)
+    gx = np.zeros_like(gray)
+    gy = np.zeros_like(gray)
+    p = np.pad(gray, 1, mode="edge")
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+    ky = kx.T
+    for dy in range(3):
+        for dx in range(3):
+            win = p[dy:dy + gray.shape[0], dx:dx + gray.shape[1]]
+            gx += kx[dy, dx] * win
+            gy += ky[dy, dx] * win
+    mag = np.sqrt(gx * gx + gy * gy)
+    return (mag > threshold).astype(np.float32)
+
+
+def toon(img: np.ndarray, edge_img: Optional[np.ndarray] = None,
+         levels: int = 4, edge_color=(0, 0, 0),
+         edge_threshold: float = 0.3) -> np.ndarray:
+    """Toon layer: posterized color + dark edges
+    (image_manipulation.cc toon post)."""
+    img = np.asarray(img, np.float32)
+    q = np.floor(np.clip(img[..., :3], 0, 1) * levels) / max(levels - 1, 1)
+    q = np.clip(q, 0.0, 1.0)
+    edges = edge_img if edge_img is not None else sobel_edges(
+        img, edge_threshold)
+    ec = np.asarray(edge_color, np.float32)
+    out = np.where(edges[..., None] > 0, ec, q)
+    if img.shape[-1] == 4:
+        out = np.concatenate([out, img[..., 3:]], -1)
+    return out
+
+
+def denoise(img: np.ndarray, strength: float = 0.5,
+            radius: int = 2) -> np.ndarray:
+    """Edge-preserving smooth — stands in for the reference's OpenCV
+    fastNlMeans (image_manipulation_opencv.cc:29); warns-and-noops there
+    without OpenCV, works everywhere here."""
+    img = np.asarray(img, np.float32)
+    rgb = img[..., :3]
+    acc = np.zeros_like(rgb)
+    wacc = np.zeros(rgb.shape[:2], np.float32)
+    sigma_c = max(strength, 1e-3) * 0.2
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            sh = np.roll(rgb, (dy, dx), axis=(0, 1))
+            d2 = ((sh - rgb) ** 2).mean(-1)
+            w = np.exp(-d2 / (2 * sigma_c ** 2)
+                       - (dx * dx + dy * dy) / (2.0 * radius ** 2))
+            acc += sh * w[..., None]
+            wacc += w
+    out = acc / np.maximum(wacc[..., None], 1e-9)
+    if img.shape[-1] == 4:
+        out = np.concatenate([out, img[..., 3:]], -1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 5x7 bitmap font (ASCII 32..95 subset) for the badge banner
+# ---------------------------------------------------------------------------
+
+_FONT = {
+    "0": "0E11151913110E", "1": "040C040404040E", "2": "0E11010609101F",
+    "3": "0E1101060111 0E", "4": "02060A121F0202", "5": "1F101E0101110E",
+    "6": "060810 1E11110E", "7": "1F01020408 0808", "8": "0E11110E11110E",
+    "9": "0E11110F01020C", " ": "00000000000000", ".": "0000000000 0C0C",
+    ":": "000C0C000C0C00", "/": "01010204081010", "-": "0000001F000000",
+    "%": "1901020408 1013", "A": "0E11111F111111", "B": "1E11111E11111E",
+    "C": "0E111010 10110E", "D": "1E11111111111E", "E": "1F10101E10101F",
+    "F": "1F10101E101010", "G": "0E111017 11110F", "H": "11111F1F111111",
+    "I": "0E04040404040E", "J": "070202 0202120C", "K": "11121C181C1211",
+    "L": "101010101010 1F", "M": "111B1515111111", "N": "1119151311 1111",
+    "O": "0E11111111110E", "P": "1E11111E101010", "Q": "0E1111111512 0D",
+    "R": "1E11111E141211", "S": "0F10100E01011E", "T": "1F040404 040404",
+    "U": "111111111111 0E", "V": "111111110A0A04", "W": "111111 15151B11",
+    "X": "110A040404 0A11", "Y": "110A0404040404", "Z": "1F010204 08101F",
+    "p": "00001E111E1010", "s": "00000F 0E 011E0", "x": "0000110A040A11",
+    "m": "00001A15151515", "r": "0000161810 1010", "a": "00000E011F110F",
+    "y": "0000110A04 0810", "d": "0101 0F11 11 0F", "e": "00000E111E100F",
+}
+
+
+def _glyph(ch: str) -> np.ndarray:
+    hexs = _FONT.get(ch, _FONT.get(ch.upper(), _FONT[" "])).replace(" ", "")
+    rows = [int(hexs[i:i + 2], 16) for i in range(0, min(len(hexs), 14), 2)]
+    rows += [0] * (7 - len(rows))
+    g = np.zeros((7, 5), np.float32)
+    for y, r in enumerate(rows):
+        for x in range(5):
+            g[y, 4 - x] = (r >> x) & 1
+    return g
+
+
+def draw_text(img: np.ndarray, text: str, x: int, y: int,
+              color=(1, 1, 1), scale: int = 1) -> np.ndarray:
+    """Stamp bitmap text into the image (in place), top-left at (x, y)."""
+    col = np.asarray(color, np.float32)
+    cx = x
+    for ch in text:
+        g = _glyph(ch)
+        if scale > 1:
+            g = np.repeat(np.repeat(g, scale, 0), scale, 1)
+        h, w = g.shape
+        y1 = min(y + h, img.shape[0])
+        x1 = min(cx + w, img.shape[1])
+        if y1 > y and x1 > cx:
+            mask = g[: y1 - y, : x1 - cx, None]
+            img[y:y1, cx:x1, :3] = (img[y:y1, cx:x1, :3] * (1 - mask)
+                                    + col * mask)
+        cx += w + scale
+    return img
+
+
+def draw_badge(img: np.ndarray, lines, position: str = "bottom",
+               bg_color=(0.05, 0.05, 0.05), text_color=(0.9, 0.9, 0.9),
+               scale: int = 1) -> np.ndarray:
+    """Render-stats banner (Badge analogue, badge.cc:47-148): a solid strip
+    at top/bottom with one or more text lines (title/author/render params)."""
+    img = np.array(img, np.float32, copy=True)
+    line_h = 9 * scale
+    strip_h = line_h * len(lines) + 4 * scale
+    h = img.shape[0]
+    if position == "top":
+        y0 = 0
+    else:
+        y0 = max(h - strip_h, 0)
+    img[y0:y0 + strip_h, :, :3] = np.asarray(bg_color, np.float32)
+    for i, line in enumerate(lines):
+        draw_text(img, line, 3 * scale, y0 + 2 * scale + i * line_h,
+                  text_color, scale)
+    return img

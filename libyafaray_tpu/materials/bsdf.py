@@ -312,6 +312,9 @@ class MatSample:
     is_delta: Array    # bool[N]
     is_transmit: Array # bool[N] crossed to the other side of the surface
     valid: Array       # bool[N] sample produced any contribution
+    dispersed: Array = None  # bool[N] chromatic refraction event (glass
+                             # with dispersion_power > 0; integrator tints
+                             # the path by wl2rgb on the first one)
 
 
 def _sample_single(mp: MP, sp, wo_l: Array, u1: Array, u2: Array, u3: Array
@@ -455,10 +458,20 @@ def resolve_mp(scene: SceneData, sp, mat_id: Optional[Array] = None) -> MP:
     return mp
 
 
-def sample_bsdf(scene: SceneData, sp, wo: Array, u1, u2, u3) -> MatSample:
-    """Material::sample analogue for the whole wavefront."""
+def sample_bsdf(scene: SceneData, sp, wo: Array, u1, u2, u3,
+                wl: Optional[Array] = None) -> MatSample:
+    """Material::sample analogue for the whole wavefront.
+
+    `wl` (optional, [N] in [0,1]) is the path's chromatic wavelength for
+    dispersive glass: the per-lane IOR shifts linearly with (wl - 0.5) *
+    dispersion_power — a linearized Cauchy model of the reference's
+    CauchyCoefficients (material_glass.cc dispersion branch +
+    include/color/spectrum.h)."""
     mats = scene.materials
     mp = resolve_mp(scene, sp)
+    if wl is not None:
+        disp = mats.dispersion[sp.mat_id]
+        mp = mp.replace(ior=mp.ior + disp * (wl - 0.5))
     wo_l = _to_local(sp, wo)
     if mats.has_blend:
         # stochastically select a sub-material for blends, lerp eval/pdf
@@ -476,7 +489,9 @@ def sample_bsdf(scene: SceneData, sp, wo: Array, u1, u2, u3) -> MatSample:
     else:
         s = _sample_single(mp, sp, wo_l, u1, u2, u3)
     wi_world = _from_local(sp, s.wi)
-    return s.replace(wi=wi_world)
+    disp = mats.dispersion[sp.mat_id]
+    dispersed = s.is_delta & s.is_transmit & (disp > 0.0)
+    return s.replace(wi=wi_world, dispersed=dispersed)
 
 
 def emit(scene: SceneData, sp, wo: Array) -> Array:

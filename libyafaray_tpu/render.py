@@ -98,14 +98,36 @@ def compute_resample_mask(film: F.Film, threshold: float) -> Array:
     return mask.astype(jnp.float32)
 
 
-def render(scene: SceneData, cfg: IntegratorConfig, width: int, height: int,
+def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
+           height: Optional[int] = None,
            spp: int = 16, aa: Optional[AAParams] = None,
            layer_names: Tuple[str, ...] = ("combined",),
            flt_kind: str = "box", flt_width: float = 1.0,
            computer_node: int = 0, film: Optional[F.Film] = None,
            start_sample: int = 0,
-           progress_cb=None) -> F.Film:
-    """Multi-pass render loop (TiledIntegrator::render analogue)."""
+           progress_cb=None,
+           film_path: Optional[str] = None,
+           film_load_save_mode: str = "none",
+           film_autosave_interval_passes: int = 0,
+           render_control=None) -> F.Film:
+    """Multi-pass render loop (TiledIntegrator::render analogue).
+
+    width/height default to the camera's resx/resy; passing a different
+    size renders a crop of the camera frame (the film addresses camera
+    pixels 1:1, like the reference's region renders)."""
+    if width is None:
+        width = scene.camera.resx
+    if height is None:
+        height = scene.camera.resy
+    # film resume (reference film_load_save_mode load-save,
+    # imagefilm.cc:827-938 + resumed-render offset, integrator_tiled.cc:155)
+    if film is None and film_path is not None and film_load_save_mode in (
+            "load", "load-save"):
+        import os
+        if os.path.exists(film_path):
+            film, start_sample = F.load_film(film_path)
+            if render_control is not None:
+                render_control.set_resumed()
     if film is None:
         film = F.make_film(width, height, layer_names, flt_kind, flt_width,
                            computer_node)
@@ -126,18 +148,46 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: int, height: int,
         aa = AAParams(aa_samples=spp, aa_passes=1)
     ones = jnp.ones((height, width), jnp.float32)
     s = start_sample
+
+    def autosave(s_now):
+        if (film_path is not None and film_autosave_interval_passes > 0
+                and film_load_save_mode in ("save", "load-save")
+                and s_now % film_autosave_interval_passes == 0):
+            F.save_film(film, film_path, sampling_offset=s_now)
+
+    def canceled():
+        return render_control is not None and render_control.canceled
+
+    if render_control is not None:
+        render_control.set_started()
+    total = aa.aa_samples + (aa.aa_passes - 1) * aa.aa_inc_samples
     # pass 1: aa_samples samples everywhere
     for i in range(aa.aa_samples):
+        if canceled():
+            break
         film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), ones)
         s += 1
+        autosave(s)
         if progress_cb:
-            progress_cb(s, aa.aa_samples)
+            progress_cb(s, total)
+        if render_control is not None:
+            render_control.set_progress(s / max(total, 1))
     # additional adaptive passes resample flagged pixels only
     for p in range(1, aa.aa_passes):
+        if canceled():
+            break
         mask = compute_resample_mask(film, aa.threshold)
         for i in range(aa.aa_inc_samples):
             film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), mask)
             s += 1
+            autosave(s)
         if progress_cb:
-            progress_cb(s, aa.aa_samples + (aa.aa_passes - 1) * aa.aa_inc_samples)
+            progress_cb(s, total)
+        if render_control is not None:
+            render_control.set_progress(s / max(total, 1))
+    if (film_path is not None
+            and film_load_save_mode in ("save", "load-save")):
+        F.save_film(film, film_path, sampling_offset=s)
+    if render_control is not None and not canceled():
+        render_control.set_finished()
     return film

@@ -99,6 +99,7 @@ class SceneBuilder:
         self.current_material: int = 0
         self.accel_kind: str = "brute"  # flipped to "bvh" once built
         self._shader_stacks: Dict[str, List[P.ParamMap]] = {}
+        self.render_views: Dict[str, P.ParamMap] = {}
 
     # --- entity creation (Scene::createX analogues) ---
 
@@ -136,6 +137,12 @@ class SceneBuilder:
 
     def create_volume_region(self, name: str, pm: dict) -> None:
         self.volumes[name] = P.ParamMap(pm)
+
+    def create_render_view(self, name: str, pm: dict) -> None:
+        """RenderView: camera + light subset + optional fixed wavelength
+        (include/render/render_view.h:45-58); views render sequentially
+        like Scene::render's per-view loop (scene.cc:227-259)."""
+        self.render_views[name] = P.ParamMap(pm)
 
     def set_render_params(self, pm: dict) -> None:
         self.render_params.update(pm)
@@ -188,6 +195,33 @@ class SceneBuilder:
             self.add_triangle(a, b, c)
             self.add_triangle(a, c, d)
 
+    def add_mesh_arrays(self, vertices, faces, uvs=None, face_uvs=None,
+                        normals=None, face_mats=None) -> None:
+        """Bulk geometry path: attach whole arrays to the current object in
+        one call (used by the native C API layer, which stages geometry in
+        C++ buffers and hands them over zero-copy; replaces millions of
+        per-vertex Python calls)."""
+        obj = self.current_object
+        vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        faces = np.asarray(faces, np.int32).reshape(-1, 3)
+        obj.vertices.extend(map(tuple, vertices))
+        if normals is not None:
+            obj.normals.extend(map(tuple,
+                                   np.asarray(normals, np.float32)
+                                   .reshape(-1, 3)))
+        if uvs is not None:
+            obj.uvs.extend(map(tuple,
+                               np.asarray(uvs, np.float32).reshape(-1, 2)))
+        fuv = (np.asarray(face_uvs, np.int32).reshape(-1, 3)
+               if face_uvs is not None
+               else np.full((len(faces), 3), -1, np.int32))
+        fmat = (np.asarray(face_mats, np.int32).reshape(-1)
+                if face_mats is not None
+                else np.full((len(faces),), self.current_material, np.int32))
+        for f, u, m in zip(faces, fuv, fmat):
+            obj.faces.append((int(f[0]), int(f[1]), int(f[2]),
+                              int(u[0]), int(u[1]), int(u[2]), int(m)))
+
     def smooth_mesh(self, name: str = "", angle: float = 181.0) -> None:
         obj = self.objects[name] if name else self.current_object
         obj.smooth = True
@@ -197,6 +231,25 @@ class SceneBuilder:
         self.instances.append((base_name, np.asarray(matrix, np.float32).reshape(4, 4)))
 
     # ------------------------------------------------------------------
+    def compile_view(self, view_name: str) -> SceneData:
+        """Compile the scene for one named render view: its camera and,
+        when the view lists `light_names`, only those lights enabled."""
+        pm = self.render_views[view_name]
+        cam = pm.get_string("camera_name", "")
+        lights = pm.get_string("light_names", "")
+        scene = self.compile(cam or None)
+        if lights:
+            import jax.numpy as jnp
+            from .lights import FLAG_ENABLED
+            wanted = {s.strip() for s in lights.split(";") if s.strip()}
+            mask = np.asarray([n in wanted for n in self.light_order], bool)
+            flags = np.asarray(scene.lights.flags)
+            flags = np.where(mask, flags | FLAG_ENABLED,
+                             flags & ~FLAG_ENABLED)
+            scene = scene.replace(lights=scene.lights.replace(
+                flags=jnp.asarray(flags)))
+        return scene
+
     def compile(self, camera_name: Optional[str] = None) -> SceneData:
         """Freeze the staged scene into SceneData (Scene::setupRender +
         updateObjects analogue)."""

@@ -1,0 +1,170 @@
+"""Auxiliary subsystem tests: SPPM, export recorders, logger, film
+resume/autosave, render views, dispersion, postprocess."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libyafaray_tpu import SceneBuilder, film as F, make_integrator
+from libyafaray_tpu.render import render
+from scenes import cornell_builder
+
+
+def test_sppm_cornell(tmp_path):
+    from libyafaray_tpu.integrators.sppm import render_sppm
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 24
+    b.cameras["cam"]["resy"] = 24
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "SPPM", "bounces": 3})
+    img = np.asarray(render_sppm(scene, cfg, passes=4,
+                                 photons_per_pass=8000,
+                                 initial_radius=0.1))
+    assert img.shape == (24, 24, 3)
+    assert np.isfinite(img).all()
+    left = img[:, :4].mean(axis=(0, 1))
+    right = img[:, -4:].mean(axis=(0, 1))
+    assert left[0] > left[1]
+    assert right[1] > right[0]
+
+
+def test_export_xml_and_python_roundtrip(tmp_path):
+    from libyafaray_tpu.io.export import export_c, export_python, export_xml
+    b = cornell_builder()
+    xml_path = str(tmp_path / "scene.xml")
+    py_path = str(tmp_path / "scene.py")
+    c_path = str(tmp_path / "scene.c")
+    export_xml(b, xml_path)
+    export_python(b, py_path)
+    export_c(b, c_path)
+    xml = open(xml_path).read()
+    assert "<material name=\"red\">" in xml
+    assert "<light name=\"lamp\">" in xml
+    assert "<mesh vertices=" in xml
+    c_src = open(c_path).read()
+    assert "yafaray_createInterface" in c_src
+    assert "yafaray_addTriangle" in c_src
+    # the python export is runnable and rebuilds an equivalent scene
+    ns = {}
+    code = open(py_path).read()
+    exec(compile(code, py_path, "exec"), ns)
+    scene2 = ns["scene"]
+    scene1 = cornell_builder().compile()
+    assert scene2.geom.num_faces == scene1.geom.num_faces
+    np.testing.assert_allclose(np.asarray(scene2.geom.vertices),
+                               np.asarray(scene1.geom.vertices))
+
+
+def test_logger_and_observability(tmp_path):
+    from libyafaray_tpu.utils.logger import (Logger, ProgressBar,
+                                             RenderControl, Timer,
+                                             LOG_INFO, LOG_DEBUG)
+    log = Logger(console_level=-1)  # silent
+    seen = []
+    log.set_callback(lambda lv, ts, msg: seen.append((lv, msg)))
+    log.info("render started")
+    log.warning("low photon count")
+    log.debug("not stored at default level")
+    assert len(log.entries) == 2  # debug above memory level
+    assert seen[0][1] == "render started"
+    txt = str(tmp_path / "log.txt")
+    html = str(tmp_path / "log.html")
+    log.save_txt_log(txt)
+    log.save_html_log(html)
+    assert "low photon count" in open(txt).read()
+    assert "<table" in open(html).read()
+
+    t = Timer()
+    t.start("render")
+    t.stop("render")
+    assert t.get_time("render") >= 0.0
+
+    rc = RenderControl()
+    rc.set_started()
+    rc.set_progress(0.5)
+    assert rc.started and rc.progress == 0.5
+    rc.set_canceled()
+    assert rc.canceled
+
+
+def test_film_save_resume(tmp_path):
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    fp = str(tmp_path / "test.film.npz")
+    # render 2 samples and save
+    film1 = render(scene, cfg, spp=2, film_path=fp,
+                   film_load_save_mode="save")
+    # resume: loads the film and continues from the saved offset
+    film2 = render(scene, cfg, spp=2, film_path=fp,
+                   film_load_save_mode="load-save")
+    assert float(film2.weights.sum()) == pytest.approx(
+        2 * float(film1.weights.sum()))
+    # merged result equals a straight 4-sample render (same sample stream)
+    film4 = render(scene, cfg, spp=4)
+    np.testing.assert_allclose(np.asarray(F.resolve(film2, "combined")),
+                               np.asarray(F.resolve(film4, "combined")),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_render_views():
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 8
+    b.cameras["cam"]["resy"] = 8
+    b.create_light("lamp2", {"type": "pointlight", "from": (0.5, 0.5, 0.5),
+                             "color": (1, 1, 1), "power": 2.0})
+    b.create_render_view("main", {"camera_name": "cam",
+                                  "light_names": "lamp"})
+    scene_view = b.compile_view("main")
+    scene_all = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    i_view = np.asarray(F.resolve(render(scene_view, cfg, spp=2), "combined"))
+    i_all = np.asarray(F.resolve(render(scene_all, cfg, spp=2), "combined"))
+    # the view excludes lamp2, so it must be darker
+    assert i_view[..., :3].mean() < i_all[..., :3].mean()
+
+
+def test_dispersion_produces_color():
+    """A dispersive glass slab splits white light into wavelengths: paths
+    through it should show chromatic variation absent with dispersion 0."""
+    def build(dp):
+        b = cornell_builder(extras=[
+            ("glass", {"type": "glass", "IOR": 1.5,
+                       "dispersion_power": dp,
+                       "filter_color": (1, 1, 1)})])
+        b.create_object("slab")
+        b.set_current_material("glass")
+        from scenes import _box
+        _box(b, (0.3, 0.4, 0.25), (0.4, 0.1, 0.3))
+        b.cameras["cam"]["resx"] = 16
+        b.cameras["cam"]["resy"] = 16
+        return b.compile("cam")
+
+    cfg = make_integrator({"type": "pathtracing", "bounces": 5})
+    img_d = np.asarray(F.resolve(render(build(0.5), cfg, spp=8), "combined"))
+    img_0 = np.asarray(F.resolve(render(build(0.0), cfg, spp=8), "combined"))
+    assert np.isfinite(img_d).all()
+    # chromatic spread: dispersion increases per-pixel rgb channel variance
+    sat_d = np.abs(img_d[..., :3] - img_d[..., :3].mean(-1, keepdims=True)).mean()
+    sat_0 = np.abs(img_0[..., :3] - img_0[..., :3].mean(-1, keepdims=True)).mean()
+    assert sat_d > sat_0
+
+
+def test_postprocess_edges_toon_badge():
+    from libyafaray_tpu.io.postprocess import (denoise, draw_badge,
+                                               sobel_edges, toon)
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, 16:] = 1.0
+    e = sobel_edges(img, 0.3)
+    assert e[16, 16] == 1.0 and e[16, 4] == 0.0
+    t = toon(img, levels=2)
+    assert t.shape == img.shape
+    d = denoise(img + np.random.default_rng(0).normal(0, 0.05, img.shape)
+                .astype(np.float32))
+    assert d.shape == img.shape
+    badged = draw_badge(img, ["render 1.0", "42 spp"])
+    assert badged.shape == img.shape
+    assert not np.allclose(badged[-10:], img[-10:])
