@@ -26,7 +26,8 @@ Array = jax.Array
 
 
 def trace_shadow(scene: SceneData, p: Array, prim: Array, wi: Array,
-                 dist: Array, transparent_depth: int = 0) -> Array:
+                 dist: Array, transparent_depth: int = 0,
+                 time=None) -> Array:
     """Shadow transmittance in [0,1]^3 along (p -> p + wi*dist).
 
     transparent_depth = 0: binary visibility (intersectS analogue).
@@ -37,7 +38,8 @@ def trace_shadow(scene: SceneData, p: Array, prim: Array, wi: Array,
     o = p + wi * bias[..., None]
     t_max = jnp.where(jnp.isinf(dist), 1e30, dist - 2.0 * bias)
     if transparent_depth == 0:
-        blocked = I.any_hit(scene, o, wi, 0.0, t_max, exclude_prim=prim)
+        blocked = I.any_hit(scene, o, wi, 0.0, t_max, exclude_prim=prim,
+                            time=time)
         return jnp.where(blocked[..., None], 0.0, 1.0)
     filt = jnp.ones(p.shape, jnp.float32)
     cur_o = o
@@ -62,7 +64,8 @@ def trace_shadow(scene: SceneData, p: Array, prim: Array, wi: Array,
 def estimate_one_light(scene: SceneData, sp, wo: Array, li: Array,
                        u1: Array, u2: Array,
                        transparent_shadows: int = 0,
-                       pick_pdf: Array | float = 1.0) -> Array:
+                       pick_pdf: Array | float = 1.0,
+                       time=None) -> Array:
     """One-sample NEE toward light index `li` with MIS against BSDF sampling
     (areaLightSampleLight analogue). Returns radiance contribution [N,3]."""
     ls = L.sample_light(scene, li, sp.p, sp.n, u1, u2)
@@ -73,7 +76,7 @@ def estimate_one_light(scene: SceneData, sp, wo: Array, li: Array,
     potential = ls.valid & sp.valid & (jnp.max(f, axis=-1) > 0.0)
     shadow_needed = potential & ((scene.lights.flags[li] & L.FLAG_CAST_SHADOWS) != 0)
     tr = trace_shadow(scene, sp.p, sp.prim, ls.wi, ls.dist,
-                      transparent_shadows)
+                      transparent_shadows, time=time)
     no_shadow_test = potential & ~shadow_needed
     tr = jnp.where(no_shadow_test[..., None], 1.0, tr)
     mis_w = jnp.where(ls.is_dirac, 1.0,

@@ -121,7 +121,8 @@ def _sample_ambient_occlusion(scene, cfg, sp, wo, pixel_id, sample_idx):
 
 def integrate(scene: SceneData, cfg: IntegratorConfig,
               ray_o: Array, ray_d: Array, ray_valid: Array,
-              pixel_id: Array, sample_idx: Array
+              pixel_id: Array, sample_idx: Array,
+              ray_time: Array = None
               ) -> Tuple[Array, Array, Dict[str, Array]]:
     """Trace one wavefront of camera rays to completion.
 
@@ -149,6 +150,9 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     # and tints the throughput by 3 * wl2rgb(wl) (spectral decomposition)
     path_wl = sampler.rand1(pixel_id, sample_idx, 0, 555)
     chromatic = jnp.zeros((n,), bool)
+    # per-sample shutter time for motion blur (BsTriangle ray.time analogue)
+    if ray_time is None and scene.geom.has_motion:
+        ray_time = sampler.rand1(pixel_id, sample_idx, 0, 556)
     alpha = jnp.zeros((n,), jnp.float32)
     o, d = ray_o, ray_d
     prev_prim = jnp.full((n,), -1, jnp.int32)
@@ -164,7 +168,7 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     max_depth = cfg.bounces + 1
     for depth in range(max_depth):
         hit = I.closest_hit(scene, o, d, scene.ray_min_dist, 1e30,
-                            exclude_prim=prev_prim)
+                            exclude_prim=prev_prim, time=ray_time)
         hit = hit.replace(valid=hit.valid & alive)
         sp = S.make_surface(scene, hit, o, d)
         sp = bump_normal(scene, sp)
@@ -211,7 +215,8 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                     u1, u2 = sampler.rand2(pixel_id, sample_idx,
                                            depth, 10 + 2 * li_static)
                     c = common.estimate_one_light(
-                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows)
+                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
+                        time=ray_time)
                     radiance = radiance + jnp.where(alive[..., None],
                                                     throughput * c, 0.0)
             else:
@@ -221,7 +226,7 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                               num_lights - 1)
                 c = common.estimate_one_light(
                     scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
-                    pick_pdf=1.0 / num_lights)
+                    pick_pdf=1.0 / num_lights, time=ray_time)
                 radiance = radiance + jnp.where(alive[..., None],
                                                 throughput * c * num_lights
                                                 * (1.0 / num_lights), 0.0)

@@ -26,7 +26,14 @@ from ..scene_types import Geometry, SceneData
 
 Array = jax.Array
 
-TRI_CHUNK = 512  # triangles processed per scan step in brute-force mode
+MAX_TRI_CHUNK = 512  # upper bound on triangles per scan step
+
+
+def _tri_chunk(f: int) -> int:
+    """Chunk width for the brute-force scan: small scenes pad only to the
+    128-lane VPU width instead of a fixed 512 (a 36-tri cornell otherwise
+    wastes 14x of its MT tests on padding)."""
+    return min(MAX_TRI_CHUNK, max(128, -(-f // 128) * 128))
 
 
 @struct.dataclass
@@ -85,38 +92,64 @@ def intersect_sphere(o: Array, d: Array, center: Array, radius: Array,
 
 def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
                    t_max: Array, exclude_prim: Optional[Array] = None,
-                   shadow: bool = False) -> Hit:
+                   shadow: bool = False,
+                   time: Optional[Array] = None) -> Hit:
     n = o.shape[0]
     vis_bit = 2 if shadow else 1
     best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     best_prim = jnp.full((n,), -1, jnp.int32)
     best_uv = jnp.zeros((n, 2), jnp.float32)
     f = geom.num_faces
+    motion = geom.has_motion and time is not None
     if f > 0:
         v0, v1, v2 = _gather_tri_verts(geom)
+        if motion:
+            vb = geom.vertices_t1
+            fc = geom.faces
+            v0b, v1b, v2b = vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]]
         fvis = (geom.face_vis & vis_bit) != 0
-        pad = (-f) % TRI_CHUNK
+        chunk = _tri_chunk(f)
+        pad = (-f) % chunk
         if pad:
             padv = jnp.full((pad, 3), jnp.nan, jnp.float32)
             v0 = jnp.concatenate([v0, padv])
             v1 = jnp.concatenate([v1, padv])
             v2 = jnp.concatenate([v2, padv])
+            if motion:
+                v0b = jnp.concatenate([v0b, padv])
+                v1b = jnp.concatenate([v1b, padv])
+                v2b = jnp.concatenate([v2b, padv])
             fvis = jnp.concatenate([fvis, jnp.zeros((pad,), bool)])
-        steps = (f + pad) // TRI_CHUNK
-        v0 = v0.reshape(steps, TRI_CHUNK, 3)
-        v1 = v1.reshape(steps, TRI_CHUNK, 3)
-        v2 = v2.reshape(steps, TRI_CHUNK, 3)
-        fvis = fvis.reshape(steps, TRI_CHUNK)
-        base_ids = jnp.arange(TRI_CHUNK, dtype=jnp.int32)
+        steps = (f + pad) // chunk
+        v0 = v0.reshape(steps, chunk, 3)
+        v1 = v1.reshape(steps, chunk, 3)
+        v2 = v2.reshape(steps, chunk, 3)
+        if motion:
+            v0b = v0b.reshape(steps, chunk, 3)
+            v1b = v1b.reshape(steps, chunk, 3)
+            v2b = v2b.reshape(steps, chunk, 3)
+            tt_ray = jnp.asarray(time, jnp.float32)[:, None, None]
+        fvis = fvis.reshape(steps, chunk)
+        base_ids = jnp.arange(chunk, dtype=jnp.int32)
         ob = o[:, None, :]
         db = d[:, None, :]
         tmin_b = jnp.asarray(t_min, jnp.float32)[..., None]
 
-        def step(carry, chunk):
+        def step(carry, chunk_in):
             bt, bp, buv = carry
-            cv0, cv1, cv2, cvis, coff = chunk
-            hit, t, u, v = moller_trumbore(ob, db, cv0[None], cv1[None],
-                                           cv2[None], tmin_b, bt[:, None])
+            if motion:
+                cv0, cv1, cv2, cb0, cb1, cb2, cvis, coff = chunk_in
+                # per-ray shutter time interpolation (BsTrianglePrimitive
+                # analogue, primitive_triangle_bspline.cc, 2-keyframe lerp)
+                a0 = cv0[None] * (1 - tt_ray) + cb0[None] * tt_ray
+                a1 = cv1[None] * (1 - tt_ray) + cb1[None] * tt_ray
+                a2 = cv2[None] * (1 - tt_ray) + cb2[None] * tt_ray
+                hit, t, u, v = moller_trumbore(ob, db, a0, a1, a2,
+                                               tmin_b, bt[:, None])
+            else:
+                cv0, cv1, cv2, cvis, coff = chunk_in
+                hit, t, u, v = moller_trumbore(ob, db, cv0[None], cv1[None],
+                                               cv2[None], tmin_b, bt[:, None])
             ids = base_ids[None, :] + coff
             hit = hit & cvis[None, :]
             if exclude_prim is not None:
@@ -132,9 +165,11 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
                             jnp.stack([u[rows, j], v[rows, j]], axis=-1), buv)
             return (bt, bp, buv), None
 
-        offs = jnp.arange(steps, dtype=jnp.int32) * TRI_CHUNK
+        offs = jnp.arange(steps, dtype=jnp.int32) * chunk
+        xs = ((v0, v1, v2, v0b, v1b, v2b, fvis, offs) if motion
+              else (v0, v1, v2, fvis, offs))
         (best_t, best_prim, best_uv), _ = jax.lax.scan(
-            step, (best_t, best_prim, best_uv), (v0, v1, v2, fvis, offs))
+            step, (best_t, best_prim, best_uv), xs)
     s = geom.num_spheres
     if s > 0:
         hit, t = intersect_sphere(
@@ -158,35 +193,59 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
 
 
 def _brute_any(geom: Geometry, o: Array, d: Array, t_min: Array,
-               t_max: Array, exclude_prim: Optional[Array] = None) -> Array:
+               t_max: Array, exclude_prim: Optional[Array] = None,
+               time: Optional[Array] = None) -> Array:
     """Boolean shadow query (reference Accelerator::intersectS).
 
     Brute force has no early-out to exploit on SIMD hardware; the closest-hit
     scan already short-circuits nothing, so reuse it."""
-    hit = _brute_closest(geom, o, d, t_min, t_max, exclude_prim, shadow=True)
+    hit = _brute_closest(geom, o, d, t_min, t_max, exclude_prim, shadow=True,
+                         time=time)
     return hit.valid
 
 
+def _detach_hit(hit: Hit) -> Hit:
+    """Detached-sampling gradients: intersection results carry no gradient
+    (visibility/geometry discontinuity gradients are out of scope, SURVEY.md
+    §7.6) — stop_gradient here prunes the whole intersection scan from the
+    backward pass, roughly halving fwd+bwd cost."""
+    return Hit(valid=hit.valid, t=jax.lax.stop_gradient(hit.t),
+               prim=hit.prim, uv=jax.lax.stop_gradient(hit.uv))
+
+
 def closest_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
-                exclude_prim: Optional[Array] = None) -> Hit:
-    """Closest-hit query over the whole scene (Accelerator::intersect)."""
+                exclude_prim: Optional[Array] = None,
+                time: Optional[Array] = None) -> Hit:
+    """Closest-hit query over the whole scene (Accelerator::intersect).
+    Motion-blurred scenes (geom.has_motion) use the brute path with per-ray
+    `time`; the LBVH is built over t=0 bounds only and ignores time."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    if scene.accel_kind == "bvh" and scene.bvh is not None:
-        from ..accel import lbvh
-        return lbvh.traverse_closest(scene, o, d, t_min, t_max, exclude_prim)
-    return _brute_closest(scene.geom, o, d, t_min, t_max, exclude_prim)
+    if (scene.accel_kind == "bvh" and scene.bvh is not None
+            and not scene.geom.has_motion):
+        return _detach_hit(lbvh_closest(scene, o, d, t_min, t_max,
+                                        exclude_prim))
+    return _detach_hit(_brute_closest(scene.geom, o, d, t_min, t_max,
+                                      exclude_prim, time=time))
+
+
+def lbvh_closest(scene, o, d, t_min, t_max, exclude_prim):
+    from ..accel import lbvh
+    return lbvh.traverse_closest(scene, o, d, t_min, t_max, exclude_prim)
 
 
 def any_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
-            exclude_prim: Optional[Array] = None) -> Array:
+            exclude_prim: Optional[Array] = None,
+            time: Optional[Array] = None) -> Array:
     """Binary shadow query (Accelerator::intersectS analogue)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    if scene.accel_kind == "bvh" and scene.bvh is not None:
+    if (scene.accel_kind == "bvh" and scene.bvh is not None
+            and not scene.geom.has_motion):
         from ..accel import lbvh
         return lbvh.traverse_any(scene, o, d, t_min, t_max, exclude_prim)
-    return _brute_any(scene.geom, o, d, t_min, t_max, exclude_prim)
+    return _brute_any(scene.geom, o, d, t_min, t_max, exclude_prim,
+                      time=time)
 
 
 def shadow_hit_surface(scene: SceneData, o: Array, d: Array, t_min, t_max,
@@ -198,7 +257,7 @@ def shadow_hit_surface(scene: SceneData, o: Array, d: Array, t_min, t_max,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
     if scene.accel_kind == "bvh" and scene.bvh is not None:
         from ..accel import lbvh
-        return lbvh.traverse_closest(scene, o, d, t_min, t_max, exclude_prim,
-                                     shadow=True)
-    return _brute_closest(scene.geom, o, d, t_min, t_max, exclude_prim,
-                          shadow=True)
+        return _detach_hit(lbvh.traverse_closest(scene, o, d, t_min, t_max,
+                                                 exclude_prim, shadow=True))
+    return _detach_hit(_brute_closest(scene.geom, o, d, t_min, t_max,
+                                      exclude_prim, shadow=True))

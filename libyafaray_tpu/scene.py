@@ -63,6 +63,7 @@ class _MeshObject:
     name: str
     obj_id: int
     vertices: List = field(default_factory=list)
+    vertices_t1: List = field(default_factory=list)  # motion keyframe (t=1)
     normals: List = field(default_factory=list)  # optional streamed normals
     uvs: List = field(default_factory=list)
     faces: List = field(default_factory=list)     # (a,b,c, uva,uvb,uvc, mat)
@@ -75,6 +76,9 @@ class _MeshObject:
     sphere_center: Optional[np.ndarray] = None
     sphere_radius: float = 1.0
     sphere_mat: int = 0
+    is_curve: bool = False
+    strand_start: float = 0.01
+    strand_end: float = 0.01
 
 
 class SceneBuilder:
@@ -158,12 +162,24 @@ class SceneBuilder:
             obj.is_sphere = True
             obj.sphere_center = pm.get_vector("center", (0, 0, 0))
             obj.sphere_radius = pm.get_float("radius", 1.0)
+        elif pm.get_string("type", "mesh") == "curve":
+            # strand extrusion (reference CurveObject, object_curve.h:32-42):
+            # streamed vertices are strand control points; compile extrudes a
+            # ribbon with width lerping strand_start -> strand_end
+            obj.is_curve = True
+            obj.strand_start = pm.get_float("strand_start", 0.01)
+            obj.strand_end = pm.get_float("strand_end", 0.0025)
         self.objects[name] = obj
         self.object_order.append(name)
         self.current_object = obj
 
     def set_current_material(self, name: str) -> None:
         self.current_material = self._mat_id(name)
+        # spheres and curves have no per-face material stream: bind the
+        # active material to the object directly
+        if self.current_object is not None and (
+                self.current_object.is_sphere or self.current_object.is_curve):
+            self.current_object.sphere_mat = self.current_material
 
     def _mat_id(self, name: str) -> int:
         if name not in self.material_order:
@@ -176,6 +192,12 @@ class SceneBuilder:
 
     def add_normal(self, x, y, z) -> None:
         self.current_object.normals.append((x, y, z))
+
+    def add_vertex_time_step(self, x, y, z) -> None:
+        """Shutter-close (t=1) position of the most recently added vertex
+        (motion blur; the reference's b-spline time-step vertices,
+        primitive_triangle_bspline.cc, linearized to 2 keyframes)."""
+        self.current_object.vertices_t1.append((x, y, z))
 
     def add_uv(self, u, v) -> int:
         self.current_object.uvs.append((u, v))
@@ -418,6 +440,7 @@ class SceneBuilder:
     def _build_geometry(self):
         """Concatenate all meshes (+instances baked) into flat arrays."""
         all_v: List[np.ndarray] = []
+        all_v1: List[np.ndarray] = []
         all_n: List[np.ndarray] = []
         all_uv: List[np.ndarray] = [np.zeros((1, 2), np.float32)]
         all_f: List[np.ndarray] = []
@@ -447,11 +470,18 @@ class SceneBuilder:
                 sph["obj"].append(obj.obj_id)
                 sph["vis"].append(_vis_bits(obj.visibility))
                 return
+            if obj.is_curve and obj.vertices:
+                _extrude_curve(obj)
             if not obj.faces:
                 return
             v = np.asarray(obj.vertices, np.float32).reshape(-1, 3)
+            if obj.vertices_t1 and len(obj.vertices_t1) == len(obj.vertices):
+                v1_arr = np.asarray(obj.vertices_t1, np.float32).reshape(-1, 3)
+            else:
+                v1_arr = v
             if matrix is not None:
                 v = v @ matrix[:3, :3].T + matrix[:3, 3]
+                v1_arr = v1_arr @ matrix[:3, :3].T + matrix[:3, 3]
             f = np.asarray([fc[:3] for fc in obj.faces], np.int32)
             fuv = np.asarray([fc[3:6] for fc in obj.faces], np.int32)
             fmat = np.asarray([fc[6] for fc in obj.faces], np.int32)
@@ -474,6 +504,7 @@ class SceneBuilder:
                 smooth_flag = False
             start = f_count
             all_v.append(v)
+            all_v1.append(v1_arr)
             all_n.append(n_arr)
             if uv.size:
                 all_uv.append(uv)
@@ -494,8 +525,12 @@ class SceneBuilder:
         for base, mtx in self.instances:
             emit_mesh(self.objects[base], mtx)
 
+        has_motion = any(
+            self.objects[n].vertices_t1 for n in self.object_order)
         geom_np = dict(
             vertices=np.concatenate(all_v) if all_v else np.zeros((1, 3), np.float32),
+            vertices_t1=(np.concatenate(all_v1) if (all_v1 and has_motion)
+                         else None),
             normals=np.concatenate(all_n) if all_n else np.zeros((1, 3), np.float32),
             uvs=np.concatenate(all_uv),
             faces=np.concatenate(all_f) if all_f else np.zeros((0, 3), np.int32),
@@ -519,8 +554,11 @@ class SceneBuilder:
         return geom_np, obj_face_ranges
 
     def _geometry_to_device(self, g) -> Geometry:
+        v1 = g.pop("vertices_t1", None)
         return Geometry(
             num_faces=int(len(g["faces"])), num_spheres=int(len(g["sph_radius"])),
+            vertices_t1=(jnp.asarray(v1) if v1 is not None else None),
+            has_motion=v1 is not None,
             **{k: jnp.asarray(v) for k, v in g.items()})
 
     # ------------------------------------------------------------------
@@ -548,6 +586,7 @@ class SceneBuilder:
                     samples=zi(1), obj_id=zi(-1), tri_start=zi(0),
                     tri_count=zi(0), ies_id=zi(-1))
         extra_faces = []
+        ies_profiles: List[np.ndarray] = []
 
         for i, (name, pm) in enumerate(specs):
             ty = pm.get_string("type")
@@ -569,6 +608,14 @@ class SceneBuilder:
                 d = to - pm.get_vector("from")
                 cols["direction"][i] = d / max(np.linalg.norm(d), 1e-12)
                 cols["color"][i] = col * power
+                src = pm.get_string("file", "") or pm.get("ies_data")
+                if src is not None and not (isinstance(src, str)
+                                            and src == ""):
+                    from .lights.ies import parse_ies
+                    cols["ies_id"][i] = len(ies_profiles)
+                    ies_profiles.append(
+                        np.asarray(src, np.float32)
+                        if not isinstance(src, str) else parse_ies(src))
             elif ty == "spotlight":
                 cols["light_type"][i] = LIGHT_SPOT
                 fr = pm.get_vector("from")
@@ -665,7 +712,11 @@ class SceneBuilder:
 
         lights = LightTable(
             num_lights=len(specs), bg_light_idx=bg_light_idx,
-            ies_pool=jnp.zeros((1, 32), jnp.float32),
+            ies_pool=(jnp.asarray(np.stack([
+                np.interp(np.linspace(0, 1, 64),
+                          np.linspace(0, 1, len(p)), p)
+                for p in ies_profiles]).astype(np.float32))
+                if ies_profiles else jnp.zeros((1, 64), jnp.float32)),
             **{k: jnp.asarray(v) for k, v in cols.items()})
         return lights, geom_np
 
@@ -687,6 +738,8 @@ class SceneBuilder:
         nf = np.asarray(new_f, np.int32)
         cnt = len(nf)
         g["vertices"] = np.concatenate([g["vertices"], nv])
+        if g.get("vertices_t1") is not None:
+            g["vertices_t1"] = np.concatenate([g["vertices_t1"], nv])
         g["normals"] = np.concatenate([g["normals"], np.zeros_like(nv)])
         g["faces"] = np.concatenate([g["faces"], nf]) if len(g["faces"]) else nf
         g["face_uvs"] = np.concatenate([g["face_uvs"], np.zeros((cnt, 3), np.int32)])
@@ -720,6 +773,38 @@ class SceneBuilder:
             return None
         from .volumes import build_volume_table
         return build_volume_table(self)
+
+
+def _extrude_curve(obj: _MeshObject) -> None:
+    """Extrude strand control points into a two-sided ribbon of triangles
+    (CurveObject analogue, include/geometry/object/object_curve.h:32-42).
+    The ribbon side vector is perpendicular to the strand direction and a
+    stable reference axis; width lerps strand_start -> strand_end."""
+    pts = np.asarray(obj.vertices, np.float32).reshape(-1, 3)
+    mat = obj.faces[-1][6] if obj.faces else obj.sphere_mat
+    obj.vertices = []
+    obj.faces = []
+    n = len(pts)
+    if n < 2:
+        return
+    for k in range(n):
+        t = k / max(n - 1, 1)
+        w = 0.5 * (obj.strand_start * (1 - t) + obj.strand_end * t)
+        d = (pts[min(k + 1, n - 1)] - pts[max(k - 1, 0)])
+        d = d / max(np.linalg.norm(d), 1e-12)
+        ref = np.array([0, 0, 1], np.float32) if abs(d[2]) < 0.9 \
+            else np.array([1, 0, 0], np.float32)
+        side = np.cross(d, ref)
+        side = side / max(np.linalg.norm(side), 1e-12)
+        a = pts[k] - side * w
+        b = pts[k] + side * w
+        obj.vertices.append(tuple(a))
+        obj.vertices.append(tuple(b))
+    for k in range(n - 1):
+        i0, i1 = 2 * k, 2 * k + 1
+        i2, i3 = 2 * k + 2, 2 * k + 3
+        obj.faces.append((i0, i1, i3, -1, -1, -1, mat))
+        obj.faces.append((i0, i3, i2, -1, -1, -1, mat))
 
 
 def _vis_bits(vis: int) -> int:

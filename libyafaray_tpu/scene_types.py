@@ -93,8 +93,14 @@ class Geometry:
     # bit1 = casts shadows (derived from the reference Visibility enum)
     face_vis: Array        # i32[F]
     sph_vis: Array         # i32[S]
+    # motion blur: vertex positions at shutter close (t=1); rays carry a
+    # time in [0,1] and triangles interpolate linearly (the reference's
+    # 3-point b-spline triangles, primitive_triangle_bspline.cc, done as a
+    # 2-keyframe lerp). None when the scene is static.
+    vertices_t1: Optional[Array] = None   # f32[V, 3]
     num_faces: int = struct.field(pytree_node=False, default=0)
     num_spheres: int = struct.field(pytree_node=False, default=0)
+    has_motion: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

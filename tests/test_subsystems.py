@@ -168,3 +168,77 @@ def test_postprocess_edges_toon_badge():
     badged = draw_badge(img, ["render 1.0", "42 spp"])
     assert badged.shape == img.shape
     assert not np.allclose(badged[-10:], img[-10:])
+
+
+def test_curve_object_renders():
+    b = cornell_builder()
+    b.create_object("hair", {"type": "curve", "strand_start": 0.02,
+                             "strand_end": 0.005})
+    b.set_current_material("white")
+    for t in np.linspace(0, 1, 6):
+        b.add_vertex(0.5 + 0.1 * np.sin(t * 6), 0.5, 0.1 + 0.7 * t)
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    assert scene.geom.num_faces > 36  # extruded ribbon added triangles
+    cfg = make_integrator({"type": "directlighting"})
+    img = np.asarray(F.resolve(render(scene, cfg, spp=2), "combined"))
+    assert np.isfinite(img).all()
+
+
+def test_motion_blur_smears():
+    def build(dx):
+        b = cornell_builder()
+        b.create_object("mover")
+        b.set_current_material("white")
+        i0 = b.add_vertex(0.4, 0.5, 0.4)
+        i1 = b.add_vertex(0.6, 0.5, 0.4)
+        i2 = b.add_vertex(0.5, 0.5, 0.7)
+        b.add_triangle(i0, i1, i2)
+        if dx > 0:
+            for (x, y, z) in [(0.4, 0.5, 0.4), (0.6, 0.5, 0.4),
+                              (0.5, 0.5, 0.7)]:
+                b.add_vertex_time_step(x + dx, y, z)
+        b.cameras["cam"]["resx"] = 24
+        b.cameras["cam"]["resy"] = 24
+        return b.compile("cam")
+
+    cfg = make_integrator({"type": "directlighting"})
+    img_s = np.asarray(F.resolve(render(build(0.0), cfg, spp=8), "combined"))
+    img_m = np.asarray(F.resolve(render(build(0.3), cfg, spp=8), "combined"))
+    assert np.isfinite(img_m).all()
+    diff = np.abs(img_m - img_s)[..., :3].max(-1)
+    assert (diff > 0.02).sum() > 3, "moving triangle should smear pixels"
+
+
+def test_ies_profile_shapes_light():
+    from libyafaray_tpu.lights.ies import parse_ies
+    ies_text = """IESNA:LM-63-1995
+[TEST] demo
+TILT=NONE
+1 1000.0 1.0 5 1 1 2 0.3 0.3 0.3
+1.0 1.0 0.0
+0.0 30.0 60.0 90.0 180.0
+0.0
+1000.0 800.0 200.0 10.0 0.0
+"""
+    prof = parse_ies(ies_text)
+    assert prof.shape == (64,)
+    assert prof[0] == pytest.approx(1.0)      # peak at 0 deg, normalized
+    assert prof[-1] == pytest.approx(0.0, abs=1e-5)
+    assert prof[0] > prof[20] > prof[-1]
+
+    b = cornell_builder(light_kind="point")
+    del b.lights["lamp"]
+    b.light_order.remove("lamp")
+    b.create_light("ies", {"type": "ieslight", "from": (0.5, 0.5, 0.9),
+                           "to": (0.5, 0.5, 0.0), "color": (1, 1, 1),
+                           "power": 1.0, "ies_data": prof})
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    img = np.asarray(F.resolve(render(scene, cfg, spp=2), "combined"))
+    assert np.isfinite(img).all()
+    # floor below the light (profile peak, pointing down) brighter than walls
+    assert img[..., :3].mean() > 0.001
