@@ -129,6 +129,10 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     Returns (rgb[N,3], alpha[N], aux_layers{name: [N,C]})."""
     if cfg.kind in ("debug", "DebugIntegrator"):
         return _integrate_debug(scene, cfg, ray_o, ray_d, ray_valid)
+    if cfg.kind == "bidirectional":
+        from .bidir import integrate_bidir
+        return integrate_bidir(scene, cfg, ray_o, ray_d, ray_valid,
+                               pixel_id, sample_idx, ray_time)
 
     n = ray_o.shape[0]
     num_lights = scene.lights.num_lights

@@ -146,3 +146,27 @@ def test_train_step_reduces_loss():
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_bidirectional_matches_pathtracer():
+    """BDPT and the forward path tracer are both unbiased estimators of the
+    same integral: images must agree (reference integrator_bidirectional.cc
+    has no such check — SURVEY.md §4 requires we add one)."""
+    for light_kind in ("area", "point"):
+        b = cornell_builder(light_kind=light_kind)
+        b.cameras["cam"]["resx"] = 16
+        b.cameras["cam"]["resy"] = 16
+        scene = b.compile("cam")
+        imgs = {}
+        for kind in ("pathtracing", "bidirectional"):
+            cfg = make_integrator({"type": kind, "bounces": 3})
+            film = render(scene, cfg, 16, 16, spp=128)
+            imgs[kind] = np.asarray(F.resolve(film, "combined"))[..., :3]
+        a, c = imgs["pathtracing"], imgs["bidirectional"]
+        assert np.isfinite(c).all()
+        # estimator means agree well under 2% (MC noise at 128 spp)
+        assert abs(a.mean() - c.mean()) / a.mean() < 0.02, \
+            f"{light_kind}: {a.mean()} vs {c.mean()}"
+        lum_a, lum_c = a.mean(-1), c.mean(-1)
+        rel = np.abs(lum_a - lum_c) / np.maximum(lum_a, 0.05)
+        assert rel.mean() < 0.2, f"{light_kind}: per-pixel {rel.mean()}"
