@@ -61,6 +61,10 @@ class IntegratorConfig:
     n_photons: int = struct.field(pytree_node=False, default=100_000)
     pm_radius: float = struct.field(pytree_node=False, default=0.05)
     pm_bounces: int = struct.field(pytree_node=False, default=5)
+    # final gathering ("finalGather"/"fg_samples"/"fg_bounces",
+    # integrator_photon_mapping.cc:806-808; default on like the reference)
+    final_gather: bool = struct.field(pytree_node=False, default=True)
+    fg_samples: int = struct.field(pytree_node=False, default=16)
     # path tracer caustic modes: "none"|"path"|"photon"|"both"
     # (integrator_path_tracer.cc:325-345)
     caustic_type: str = struct.field(pytree_node=False, default="path")
@@ -100,7 +104,31 @@ def make_integrator(pm: dict) -> IntegratorConfig:
                                                              0.05)),
         pm_bounces=pm.get_int("bounces", 5) if kind == "photonmapping" else 5,
         caustic_type=pm.get_string("caustic_type", "path"),
+        final_gather=pm.get_bool("finalGather", True),
+        fg_samples=pm.get_int("fg_samples", 16),
     )
+
+
+def _final_gather(scene, cfg, sp, wo, pixel_id, sample_idx, depth):
+    """One-bounce final gathering over the precomputed radiance cache
+    (PhotonIntegrator::finalGathering, integrator_photon_mapping.cc:643):
+    cosine-sampled gather rays; at each gather hit the cached outgoing
+    radiance is looked up, giving estimator mean(albedo * L_cache) (the
+    cos/pdf factors cancel for Lambertian gather)."""
+    from .. import photon as PH
+    mp = B.resolve_mp(scene, sp)
+    acc = jnp.zeros_like(sp.p)
+    for k in range(cfg.fg_samples):
+        u1, u2 = sampler.rand2(pixel_id, sample_idx, depth, 9500 + 2 * k)
+        d_loc = vec.cosine_sample_hemisphere(u1, u2)
+        wi = vec.from_local(d_loc, sp.nu, sp.nv, sp.n)
+        o = sp.p + wi * scene.shadow_bias[..., None]
+        hit = I.closest_hit(scene, o, wi, scene.ray_min_dist, 1e30,
+                            exclude_prim=sp.prim)
+        gsp = S.make_surface(scene, hit, o, wi)
+        rad = PH.lookup_radiance(scene.photons.radiance, gsp.p, gsp.n)
+        acc = acc + jnp.where(hit.valid[..., None], rad, 0.0)
+    return mp.diffuse_color * acc / cfg.fg_samples
 
 
 def _sample_ambient_occlusion(scene, cfg, sp, wo, pixel_id, sample_idx):
@@ -238,8 +266,16 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         # --- photon-map estimates at diffuse hits (photonmapping mode) ---
         if photon_mode:
             from .. import photon as PH
-            ind = PH.estimate_radiance(scene.photons.diffuse, scene, sp, wo,
-                                       scene.photons.n_emitted)
+            use_fg = cfg.final_gather and scene.photons.radiance is not None
+            if use_fg:
+                # final gathering: one-bounce gather rays whose hits read the
+                # precomputed radiance cache (finalGathering,
+                # integrator_photon_mapping.cc:643)
+                ind = _final_gather(scene, cfg, sp, wo, pixel_id, sample_idx,
+                                    depth)
+            else:
+                ind = PH.estimate_radiance(scene.photons.diffuse, scene, sp,
+                                           wo, scene.photons.n_emitted)
             cau = PH.estimate_radiance(scene.photons.caustic, scene, sp, wo,
                                        scene.photons.n_emitted)
             radiance = radiance + jnp.where(alive[..., None],

@@ -157,7 +157,7 @@ def sppm_pass(scene: SceneData, cfg: IntegratorConfig, state: SppmState,
     smin = jnp.min(g.vertices, axis=0)
     smax = jnp.max(g.vertices, axis=0)
     # traced per-pass seed -> decorrelated photon streams across passes
-    pos, dir_, pw, caus, indirect, pvalid = PH.shoot_photons(
+    pos, dir_, pw, caus, indirect, pvalid, _, _ = PH.shoot_photons(
         scene, photons_per_pass, cfg.pm_bounces, seed=s_idx)
     # indirect deposits only: the eye pass estimates direct light with NEE,
     # so direct (depth-0) photon deposits would double count

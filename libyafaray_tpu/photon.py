@@ -164,6 +164,7 @@ def shoot_photons(scene: SceneData, n_photons: int, max_bounces: int = 5,
 
     dep_pos, dep_dir, dep_pw, dep_caus, dep_valid = [], [], [], [], []
     dep_indirect = []
+    dep_n, dep_albedo = [], []
     specular_only = jnp.ones((n_photons,), bool)
     prev_prim = jnp.full((n_photons,), -1, jnp.int32)
 
@@ -186,6 +187,8 @@ def shoot_photons(scene: SceneData, n_photons: int, max_bounces: int = 5,
         dep_caus.append(specular_only & (depth > 0))
         dep_indirect.append(jnp.full((n_photons,), depth > 0, bool))
         dep_valid.append(store)
+        dep_n.append(sp.n)
+        dep_albedo.append(mp.diffuse_color)
 
         if depth == max_bounces - 1:
             break
@@ -207,7 +210,7 @@ def shoot_photons(scene: SceneData, n_photons: int, max_bounces: int = 5,
 
     cat = lambda xs: jnp.concatenate(xs, axis=0)
     return (cat(dep_pos), cat(dep_dir), cat(dep_pw), cat(dep_caus),
-            cat(dep_indirect), cat(dep_valid))
+            cat(dep_indirect), cat(dep_valid), cat(dep_n), cat(dep_albedo))
 
 
 def build_photon_map(pos: Array, dir: Array, power: Array, valid: Array,
@@ -298,15 +301,18 @@ def estimate_radiance(pm: PhotonMap, scene: SceneData, sp, wo: Array,
 
 def make_maps(scene: SceneData, n_diffuse: int = 65536,
               n_caustic: int = 65536, max_bounces: int = 5,
-              radius: float = 0.05, seed: int = 0
-              ) -> Tuple[PhotonMap, PhotonMap, int, int]:
+              radius: float = 0.05, seed: int = 0,
+              final_gather: bool = False
+              ) -> Tuple[PhotonMap, PhotonMap, Optional[PhotonMap], int, int]:
     """Shoot and bin the diffuse + caustic maps (PhotonIntegrator::preprocess
-    analogue). Returns (diffuse_map, caustic_map, n_diff_emitted,
-    n_caus_emitted)."""
+    analogue). Returns (diffuse_map, caustic_map, radiance_cache,
+    n_diff_emitted, n_caus_emitted). With `final_gather`, also precomputes
+    the FG radiance cache (reference "FG Radiance Photon Map",
+    integrator_photon_mapping.cc:106-107,353-399)."""
     g = scene.geom
     smin = jnp.min(g.vertices, axis=0)
     smax = jnp.max(g.vertices, axis=0)
-    pos, dir_, pw, caus, indirect, valid = shoot_photons(
+    pos, dir_, pw, caus, indirect, valid, dep_n, dep_albedo = shoot_photons(
         scene, n_diffuse, max_bounces, seed)
     # diffuse map: indirect non-caustic deposits only -> combining it with
     # NEE direct lighting does not double count; caustic map: specular-only
@@ -315,4 +321,108 @@ def make_maps(scene: SceneData, n_diffuse: int = 65536,
     dmap = build_photon_map(pos, dir_, pw, valid & indirect & ~caus, radius,
                             smin, smax)
     cmap = build_photon_map(pos, dir_, pw, valid & caus, radius, smin, smax)
-    return dmap, cmap, n_diffuse, n_diffuse
+    rcache = None
+    if final_gather:
+        # the gather-ray lookup needs FULL radiance (direct + indirect +
+        # caustic) at the gather hit, so the cache is computed from a map of
+        # every deposit, then stored at the deposit locations
+        gmap = build_photon_map(pos, dir_, pw, valid, radius, smin, smax)
+        rcache = build_radiance_cache(gmap, pos, dep_n, dep_albedo, valid,
+                                      radius, smin, smax, n_diffuse)
+    return dmap, cmap, rcache, n_diffuse, n_diffuse
+
+
+def build_radiance_cache(gmap: PhotonMap, pos: Array, nrm: Array,
+                         albedo: Array, valid: Array, radius: float,
+                         scene_min, scene_max, n_emitted: int) -> PhotonMap:
+    """Precompute outgoing (Lambertian) radiance at every photon deposit
+    (the reference's threaded radiance-map precompute,
+    integrator_photon_mapping.cc:353-399 photonMapKdTreeWorker/"FG Radiance
+    Photon Map") in one vectorized density-estimate pass over the full map.
+
+    Returned as a PhotonMap whose `dir` holds the surface normal and whose
+    `power` holds radiance — the grid index gives O(1) lookups at gather
+    hits."""
+    flux, _ = gather_flux(gmap, pos, nrm)
+    r2 = gmap.radius * gmap.radius
+    radiance = (albedo / jnp.pi) * flux / (jnp.pi * r2 * n_emitted)
+    return build_photon_map(pos, nrm, radiance, valid, radius,
+                            scene_min, scene_max)
+
+
+def lookup_radiance(cache: PhotonMap, p: Array, n: Array) -> Array:
+    """Normal-weighted average of cached radiance entries within the cache
+    radius of p (reference: nearest radiance photon with compatible normal;
+    here a smooth kernel over the 27-cell neighborhood)."""
+    res = GRID_RES
+    ci = jnp.clip(((p - cache.grid_min) * cache.inv_cell).astype(jnp.int32),
+                  0, res - 1)
+    r2 = cache.radius * cache.radius
+    ids_all = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cc = jnp.clip(ci + jnp.asarray([dx, dy, dz]), 0, res - 1)
+                cell_id = (cc[..., 0] * res + cc[..., 1]) * res + cc[..., 2]
+                ids_all.append(cache.cell_slots[cell_id])
+    ids = jnp.concatenate(ids_all, axis=-1)        # [N, 27K]
+    ok = ids >= 0
+    pid = jnp.maximum(ids, 0)
+    pp = cache.pos[pid]
+    d2 = jnp.sum((pp - p[:, None, :]) ** 2, -1)
+    ndot = jnp.sum(cache.dir[pid] * n[:, None, :], -1)
+    w = jnp.where(ok & (d2 <= r2) & cache.valid[pid],
+                  jnp.maximum(ndot, 0.0) * (1.0 - d2 / r2), 0.0)
+    wsum = jnp.sum(w, axis=1)
+    rad = jnp.sum(cache.power[pid] * w[..., None], axis=1)
+    return jnp.where(wsum[..., None] > 1e-9,
+                     rad / jnp.maximum(wsum, 1e-9)[..., None], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Photon-map persistence (reference PhotonMap::save/load, photon.cc:54-95,
+# modes generate / generate-save / load / reuse-previous,
+# integrator_photon_mapping.cc:790-846)
+# ---------------------------------------------------------------------------
+
+_MAP_MAGIC = "YAF_TPU_PHOTONMAPv1"
+
+
+def save_maps(photons, path: str) -> None:
+    """Serialize PhotonData (diffuse + caustic + optional radiance cache)."""
+    arrs = {"magic": np.asarray(_MAP_MAGIC),
+            "n_emitted": np.asarray(photons.n_emitted)}
+
+    def put(prefix, pm):
+        if pm is None:
+            return
+        for f in ("pos", "dir", "power", "valid", "cell_slots",
+                  "cell_counts", "grid_min", "inv_cell", "num_stored",
+                  "radius"):
+            arrs[f"{prefix}_{f}"] = np.asarray(getattr(pm, f))
+
+    put("diffuse", photons.diffuse)
+    put("caustic", photons.caustic)
+    put("radiance", photons.radiance)
+    np.savez_compressed(path, **arrs)
+
+
+def load_maps(path: str):
+    """Load PhotonData saved by save_maps."""
+    from .scene_types import PhotonData
+    z = np.load(path, allow_pickle=False)
+    if str(z["magic"]) != _MAP_MAGIC:
+        raise ValueError(f"{path}: not a {_MAP_MAGIC} file")
+
+    def get(prefix):
+        if f"{prefix}_pos" not in z:
+            return None
+        kw = {f: jnp.asarray(z[f"{prefix}_{f}"])
+              for f in ("pos", "dir", "power", "valid", "cell_slots",
+                        "cell_counts", "grid_min", "inv_cell", "num_stored",
+                        "radius")}
+        return PhotonMap(**kw)
+
+    return PhotonData(diffuse=get("diffuse"), caustic=get("caustic"),
+                      radiance=get("radiance"),
+                      n_emitted=int(z["n_emitted"]))

@@ -109,6 +109,8 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
            film_path: Optional[str] = None,
            film_load_save_mode: str = "none",
            film_autosave_interval_passes: int = 0,
+           photon_maps_processing: str = "generate",
+           photon_map_path: Optional[str] = None,
            render_control=None) -> F.Film:
     """Multi-pass render loop (TiledIntegrator::render analogue).
 
@@ -134,16 +136,28 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
     cfg = cfg.replace(aov_layers=tuple(n for n in layer_names
                                        if n not in ("combined",)))
     # photon-map preprocess (SurfaceIntegrator::preprocess analogue,
-    # integrator_photon_mapping.cc:242)
+    # integrator_photon_mapping.cc:242; processing modes generate /
+    # generate-save / load / reuse-previous, :790-846)
     if cfg.kind == "photonmapping" and scene.photons is None:
         from . import photon as PH
         from .scene_types import PhotonData
-        dmap, cmap, n_emit, _ = jax.jit(
-            lambda s: PH.make_maps(s, cfg.n_photons, cfg.n_photons,
-                                   cfg.pm_bounces, cfg.pm_radius),
-            static_argnums=())(scene)
-        scene = scene.replace(photons=PhotonData(
-            diffuse=dmap, caustic=cmap, n_emitted=cfg.n_photons))
+        import os
+        if (photon_maps_processing in ("load", "reuse-previous")
+                and photon_map_path is not None
+                and os.path.exists(photon_map_path)):
+            scene = scene.replace(photons=PH.load_maps(photon_map_path))
+        else:
+            dmap, cmap, rcache, n_emit, _ = jax.jit(
+                lambda s: PH.make_maps(s, cfg.n_photons, cfg.n_photons,
+                                       cfg.pm_bounces, cfg.pm_radius,
+                                       final_gather=cfg.final_gather),
+                static_argnums=())(scene)
+            scene = scene.replace(photons=PhotonData(
+                diffuse=dmap, caustic=cmap, radiance=rcache,
+                n_emitted=cfg.n_photons))
+            if (photon_maps_processing == "generate-save"
+                    and photon_map_path is not None):
+                PH.save_maps(scene.photons, photon_map_path)
     if aa is None:
         aa = AAParams(aa_samples=spp, aa_passes=1)
     ones = jnp.ones((height, width), jnp.float32)

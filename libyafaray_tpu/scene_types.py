@@ -343,9 +343,13 @@ class BVH:
 @struct.dataclass
 class PhotonData:
     """Preprocessed photon maps (PhotonIntegrator::preprocess output):
-    diffuse (indirect, non-caustic) + caustic maps, photon.PhotonMap each."""
+    diffuse (indirect, non-caustic) + caustic maps, photon.PhotonMap each;
+    `radiance` is the precomputed final-gather radiance cache (the "FG
+    Radiance Photon Map", integrator_photon_mapping.cc:106-107,353-399) —
+    a PhotonMap whose dir=surface normal and power=outgoing radiance."""
     diffuse: Any
     caustic: Any
+    radiance: Any = None
     n_emitted: int = struct.field(pytree_node=False, default=0)
 
 

@@ -170,3 +170,33 @@ def test_bidirectional_matches_pathtracer():
         lum_a, lum_c = a.mean(-1), c.mean(-1)
         rel = np.abs(lum_a - lum_c) / np.maximum(lum_a, 0.05)
         assert rel.mean() < 0.2, f"{light_kind}: per-pixel {rel.mean()}"
+
+
+def test_photonmapping_final_gather(tmp_path):
+    """Photon mapping (FG radiance cache) approximates the unbiased path
+    tracer, and map save/load (photon_maps_processing modes,
+    integrator_photon_mapping.cc:790-846) roundtrips exactly."""
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    pt = make_integrator({"type": "pathtracing", "bounces": 4})
+    ref = np.asarray(F.resolve(render(scene, pt, 16, 16, spp=16),
+                               "combined"))[..., :3]
+    pm = make_integrator({"type": "photonmapping", "bounces": 4,
+                          "photons": 100_000, "diffuseRadius": 0.08,
+                          "finalGather": True, "fg_samples": 8})
+    path = str(tmp_path / "maps.npz")
+    img = np.asarray(F.resolve(
+        render(scene, pm, 16, 16, spp=8,
+               photon_maps_processing="generate-save",
+               photon_map_path=path), "combined"))[..., :3]
+    assert np.isfinite(img).all()
+    # density-estimation bias stays bounded
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.15
+    # reload the saved maps: same photons -> same image
+    img2 = np.asarray(F.resolve(
+        render(scene, pm, 16, 16, spp=8,
+               photon_maps_processing="load",
+               photon_map_path=path), "combined"))[..., :3]
+    np.testing.assert_allclose(img2, img, rtol=1e-5, atol=1e-6)
