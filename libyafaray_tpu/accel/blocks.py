@@ -1,0 +1,251 @@
+"""Block accelerator: morton-sorted triangle blocks + dense AABB culling.
+
+The TPU-native production replacement for the reference's SAH kd-tree
+traversal (src/accelerator/accelerator_kdtree.cc:639-721). Instead of a
+per-ray pointer-chasing descent (which on TPU degenerates into serial
+scalar gathers), primitives are morton-sorted and grouped into CONTIGUOUS
+blocks of B triangles (spatially coherent by construction); a query then
+
+  1. slab-tests every ray against every block AABB in one dense [N, C]
+     pass (pure VPU work, no gathers), and
+  2. repeatedly picks each ray's nearest untested candidate block
+     (argmin over the [N, C] entry-distance table) and intersects its B
+     triangles with one contiguous gather + a dense Möller-Trumbore
+     batch, until every ray's nearest remaining block entry exceeds its
+     best hit.
+
+Compared to a per-node BVH walk this trades ~B/2 extra triangle tests per
+step for B-wide gathers and zero divergence — a large win on TPU where
+gathers, not FLOPs, bound traversal (measured ~60x brute force on a 200k
+triangle scene; see PARITY.md §2.5). The block size auto-scales so the
+block count stays <= MAX_BLOCKS (the [N, C] table stays small and argmin
+cheap).
+
+Spheres are intersected densely after the block loop (scenes carry few
+analytic spheres; same treatment as the brute path).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..math import vec
+from ..scene_types import Geometry
+from .morton import morton3d
+
+Array = jax.Array
+
+MAX_BLOCKS = 4096      # cap on C so the per-chunk [N, C] key table is small
+MIN_BLOCK = 64         # minimum triangles per block (gather amortization)
+RAY_CHUNK = 4096       # rays per lax.map chunk (bounds the key table to
+                       # RAY_CHUNK*MAX_BLOCKS*4B = 64 MB)
+
+
+@struct.dataclass
+class BlockAccel:
+    """Morton-block tables, laid out [C, B, ...] so a block fetch is ONE
+    row-gather of a contiguous slice (the whole point: TPU gathers are
+    slice-granular — fetching a block as a 9*B-float row costs ~1 gather,
+    not 3*B scalar gathers)."""
+    geo: Array       # f32[C, B, 9] v0|v1|v2 per triangle
+    meta: Array      # i32[C, B, 2] (original face index | -1, visibility)
+    bmin: Array      # f32[C, 3] block AABB
+    bmax: Array      # f32[C, 3]
+    block_size: int = struct.field(pytree_node=False, default=MIN_BLOCK)
+    num_blocks: int = struct.field(pytree_node=False, default=0)
+
+
+def _pick_block_size(f: int) -> int:
+    b = MIN_BLOCK
+    while (f + b - 1) // b > MAX_BLOCKS:
+        b *= 2
+    return b
+
+
+def build_blocks(geom: Geometry) -> BlockAccel:
+    """Morton-sort the triangles and cut them into contiguous blocks.
+    Fully on device; the analogue of the reference's threaded kd build
+    (accelerator_kdtree_multi_thread.cc) but embarrassingly parallel."""
+    f = geom.num_faces
+    if f == 0:
+        raise ValueError("block accel needs triangles")
+    b = _pick_block_size(f)
+    c = (f + b - 1) // b
+    v0 = geom.vertices[geom.faces[:, 0]]
+    v1 = geom.vertices[geom.faces[:, 1]]
+    v2 = geom.vertices[geom.faces[:, 2]]
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    centroid = 0.5 * (tmin + tmax)
+    smin = jnp.min(tmin, axis=0)
+    smax = jnp.max(tmax, axis=0)
+    rel = (centroid - smin) / jnp.maximum(smax - smin, 1e-12)
+    order = jnp.argsort(morton3d(rel), stable=True).astype(jnp.int32)
+
+    pad = c * b - f
+    def pad3(x):
+        return jnp.concatenate(
+            [x[order], jnp.full((pad, 3), jnp.inf, jnp.float32)]) if pad \
+            else x[order]
+    v0s, v1s, v2s = pad3(v0), pad3(v1), pad3(v2)
+    prim = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)]) \
+        if pad else order
+    vis = jnp.concatenate([geom.face_vis[order],
+                           jnp.zeros((pad,), geom.face_vis.dtype)]) \
+        if pad else geom.face_vis[order]
+
+    valid = (prim >= 0).reshape(c, b)
+    bt_min = jnp.where(valid[..., None],
+                       jnp.minimum(jnp.minimum(v0s, v1s), v2s).reshape(c, b, 3),
+                       jnp.inf)
+    bt_max = jnp.where(valid[..., None],
+                       jnp.maximum(jnp.maximum(v0s, v1s), v2s).reshape(c, b, 3),
+                       -jnp.inf)
+    geo = jnp.concatenate([v0s, v1s, v2s], axis=-1).reshape(c, b, 9)
+    meta = jnp.stack([prim, vis.astype(jnp.int32)], axis=-1).reshape(c, b, 2)
+    return BlockAccel(geo=geo, meta=meta,
+                      bmin=jnp.min(bt_min, axis=1),
+                      bmax=jnp.max(bt_max, axis=1),
+                      block_size=b, num_blocks=int(c))
+
+
+def _safe_inv(d: Array) -> Array:
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
+
+
+def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
+                 vis_bit: int, any_hit: bool):
+    """One ray chunk through the block loop. Returns (t, prim, uv)."""
+    from ..ops.intersect import moller_trumbore
+    n = o.shape[0]
+    c = acc.num_blocks
+    b = acc.block_size
+    inv_d = _safe_inv(d)
+
+    # dense slab test against every block AABB: [n, c]
+    t0 = (acc.bmin[None] - o[:, None]) * inv_d[:, None]
+    t1 = (acc.bmax[None] - o[:, None]) * inv_d[:, None]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit_blk = (tn <= tf) & (tf >= t_min[:, None]) & (tn <= t_max[:, None])
+    key = jnp.where(hit_blk, jnp.maximum(tn, t_min[:, None]), jnp.inf)
+
+    rows = jnp.arange(n)
+
+    def active_of(key_, best_t, best_prim):
+        kmin = jnp.min(key_, axis=1)
+        act = kmin <= best_t
+        if any_hit:
+            act = act & (best_prim < 0)
+        return act
+
+    def cond(st):
+        key_, best_t, best_prim, _, it = st
+        return (it < c) & jnp.any(active_of(key_, best_t, best_prim))
+
+    def body(st):
+        key_, best_t, best_prim, best_uv, it = st
+        j = jnp.argmin(key_, axis=1).astype(jnp.int32)        # [n]
+        act = active_of(key_, best_t, best_prim)
+        # ONE row-gather per table: [n, b, 9] / [n, b, 2] contiguous slices
+        g = acc.geo[j]
+        m = acc.meta[j]
+        gv0, gv1, gv2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
+        hit, t, u, v = moller_trumbore(o[:, None], d[:, None], gv0, gv1, gv2,
+                                       t_min[:, None], best_t[:, None])
+        pid = m[..., 0]
+        hit = (hit & ((m[..., 1] & vis_bit) != 0)
+               & (pid != exclude[:, None]) & act[:, None])
+        t = jnp.where(hit, t, jnp.inf)
+        jt = jnp.argmin(t, axis=1)
+        tc = t[rows, jt]
+        better = tc < best_t
+        best_t = jnp.where(better, tc, best_t)
+        best_prim = jnp.where(better, pid[rows, jt], best_prim)
+        best_uv = jnp.where(better[:, None],
+                            jnp.stack([u[rows, jt], v[rows, jt]], -1),
+                            best_uv)
+        key_ = key_.at[rows, j].set(jnp.inf)
+        return key_, best_t, best_prim, best_uv, it + 1
+
+    init = (key, t_max, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n, 2), jnp.float32), jnp.int32(0))
+    _, best_t, best_prim, best_uv, _ = jax.lax.while_loop(cond, body, init)
+    return best_t, best_prim, best_uv
+
+
+def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
+          vis_bit: int, any_hit: bool):
+    """Full-wavefront query: pads + reshapes into RAY_CHUNK chunks mapped
+    sequentially (bounds the [chunk, C] key table), then appends the dense
+    sphere pass."""
+    from ..ops.intersect import intersect_sphere
+    n = o.shape[0]
+    chunk = min(RAY_CHUNK, max(256, n))
+    pad = (-n) % chunk
+    def padded(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
+    os_ = padded(o, 0.0).reshape(-1, chunk, 3)
+    ds_ = padded(d, 1.0).reshape(-1, chunk, 3)
+    tmins = padded(t_min, 0.0).reshape(-1, chunk)
+    tmaxs = padded(t_max, -1.0).reshape(-1, chunk)  # padded rays: empty range
+    excl = padded(exclude, -1).reshape(-1, chunk)
+    if os_.shape[0] == 1:
+        bt, bp, buv = _query_chunk(acc, os_[0], ds_[0], tmins[0], tmaxs[0],
+                                   excl[0], vis_bit, any_hit)
+    else:
+        bt, bp, buv = jax.lax.map(
+            lambda xs: _query_chunk(acc, *xs, vis_bit, any_hit),
+            (os_, ds_, tmins, tmaxs, excl))
+        bt, bp, buv = bt.reshape(-1), bp.reshape(-1), buv.reshape(-1, 2)
+    bt, bp, buv = bt[:n], bp[:n], buv[:n]
+
+    # analytic spheres: dense pass (few per scene)
+    s = geom.num_spheres
+    if s > 0:
+        best_t = jnp.where(bp >= 0, bt, t_max)
+        hit, t = intersect_sphere(
+            o[:, None, :], d[:, None, :], geom.sph_center[None],
+            geom.sph_radius[None], t_min[..., None], best_t[:, None])
+        hit = hit & ((geom.sph_vis[None, :] & vis_bit) != 0)
+        sph_ids = geom.num_faces + jnp.arange(s, dtype=jnp.int32)
+        hit = hit & (sph_ids[None, :] != exclude[:, None])
+        t = jnp.where(hit, t, jnp.inf)
+        j = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n)
+        tj = t[rows, j]
+        better = tj < best_t
+        bt = jnp.where(better, tj, bt)
+        bp = jnp.where(better, sph_ids[j], bp)
+        buv = jnp.where(better[:, None], 0.0, buv)
+    return bt, bp, buv
+
+
+def blocks_closest(scene, o, d, t_min, t_max,
+                   exclude_prim: Optional[Array] = None,
+                   shadow: bool = False):
+    from ..ops.intersect import Hit
+    n = o.shape[0]
+    exclude = (exclude_prim if exclude_prim is not None
+               else jnp.full((n,), -1, jnp.int32))
+    bt, bp, buv = query(scene.blocks, scene.geom, o, d, t_min, t_max,
+                        exclude, 2 if shadow else 1, False)
+    valid = bp >= 0
+    return Hit(valid=valid, t=jnp.where(valid, bt, t_max),
+               prim=jnp.maximum(bp, 0), uv=buv)
+
+
+def blocks_any(scene, o, d, t_min, t_max,
+               exclude_prim: Optional[Array] = None) -> Array:
+    n = o.shape[0]
+    exclude = (exclude_prim if exclude_prim is not None
+               else jnp.full((n,), -1, jnp.int32))
+    _, bp, _ = query(scene.blocks, scene.geom, o, d, t_min, t_max,
+                     exclude, 2, True)
+    return bp >= 0

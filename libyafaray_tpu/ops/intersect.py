@@ -221,6 +221,11 @@ def closest_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
     `time`; the LBVH is built over t=0 bounds only and ignores time."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
+    if (scene.accel_kind == "blocks" and scene.blocks is not None
+            and not scene.geom.has_motion):
+        from ..accel.blocks import blocks_closest
+        return _detach_hit(blocks_closest(scene, o, d, t_min, t_max,
+                                          exclude_prim))
     if (scene.accel_kind == "bvh" and scene.bvh is not None
             and not scene.geom.has_motion):
         return _detach_hit(lbvh_closest(scene, o, d, t_min, t_max,
@@ -240,6 +245,10 @@ def any_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
     """Binary shadow query (Accelerator::intersectS analogue)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
+    if (scene.accel_kind == "blocks" and scene.blocks is not None
+            and not scene.geom.has_motion):
+        from ..accel.blocks import blocks_any
+        return blocks_any(scene, o, d, t_min, t_max, exclude_prim)
     if (scene.accel_kind == "bvh" and scene.bvh is not None
             and not scene.geom.has_motion):
         from ..accel import lbvh
@@ -255,6 +264,10 @@ def shadow_hit_surface(scene: SceneData, o: Array, d: Array, t_min, t_max,
     ops/shadow.py)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
+    if scene.accel_kind == "blocks" and scene.blocks is not None:
+        from ..accel.blocks import blocks_closest
+        return _detach_hit(blocks_closest(scene, o, d, t_min, t_max,
+                                          exclude_prim, shadow=True))
     if scene.accel_kind == "bvh" and scene.bvh is not None:
         from ..accel import lbvh
         return _detach_hit(lbvh.traverse_closest(scene, o, d, t_min, t_max,

@@ -308,13 +308,22 @@ class SceneBuilder:
             ray_min_dist=jnp.float32(self.render_params.get_float(
                 "ray_min_dist", 5e-5)),
         )
-        accel = self.render_params.get_string("scene_accelerator",
-                                              self.accel_kind)
-        if accel in ("bvh", "yafaray-kdtree-original",
-                     "yafaray-kdtree-multi-thread") and geom.num_faces > 0:
+        # accelerator choice (scene_accelerator param, scene.cc:610,1047):
+        # the reference kd-tree names map to the TPU-native block accel
+        # (the production path); "bvh" keeps the Karras LBVH; "brute" /
+        # "yafaray-simpletest" is the oracle. Default: blocks for larger
+        # meshes, brute for trivial ones (dense scan already optimal there).
+        default = ("blocks" if geom.num_faces >= 2048 and not geom.has_motion
+                   else self.accel_kind)
+        accel = self.render_params.get_string("scene_accelerator", default)
+        if accel == "bvh" and geom.num_faces > 0:
             from .accel.lbvh import build_lbvh
-            bvh = build_lbvh(geom)
-            scene = scene.replace(bvh=bvh, accel_kind="bvh")
+            scene = scene.replace(bvh=build_lbvh(geom), accel_kind="bvh")
+        elif accel in ("blocks", "yafaray-kdtree-original",
+                       "yafaray-kdtree-multi-thread") and geom.num_faces > 0:
+            from .accel.blocks import build_blocks
+            scene = scene.replace(blocks=build_blocks(geom),
+                                  accel_kind="blocks")
         return scene
 
     # ------------------------------------------------------------------

@@ -365,8 +365,9 @@ class SceneData:
     nodes: Optional[NodeProgram] = None
     volumes: Optional[VolumeTable] = None
     bvh: Optional[BVH] = None
+    blocks: Any = None  # accel.blocks.BlockAccel (morton-block tables)
     photons: Optional[PhotonData] = None
-    # which accelerator the intersect ops use: "bvh" | "brute"
+    # which accelerator the intersect ops use: "blocks" | "bvh" | "brute"
     accel_kind: str = struct.field(pytree_node=False, default="brute")
     shadow_bias: Array = None   # f32 scalar
     ray_min_dist: Array = None  # f32 scalar

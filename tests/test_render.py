@@ -48,6 +48,56 @@ def test_bvh_matches_brute_oracle():
     assert np.abs(i1 - i2).max() < 1e-4
 
 
+def test_blocks_matches_brute_oracle():
+    i1 = _render(spp=2, accel=None)
+    i2 = _render(spp=2, accel="blocks")
+    assert np.abs(i1 - i2).max() < 1e-4
+
+
+def test_blocks_query_matches_oracle_random_soup():
+    """Direct accelerator query parity on a random triangle soup — the
+    same oracle role AcceleratorSimpleTest plays in the reference."""
+    from libyafaray_tpu.accel.blocks import build_blocks, blocks_closest
+    from libyafaray_tpu.ops.intersect import closest_hit
+    from scenes import cornell_builder
+
+    rng = np.random.default_rng(7)
+    n_tri, n_ray = 3000, 2048
+    b = cornell_builder()
+    b.create_object("soup")
+    b.set_current_material("white")
+    base = rng.uniform(0.1, 0.9, (n_tri, 3)).astype(np.float32)
+    tri = base[:, None, :] + rng.uniform(
+        -0.05, 0.05, (n_tri, 3, 3)).astype(np.float32)
+    for t in tri:
+        i0 = b.add_vertex(*map(float, t[0]))
+        i1 = b.add_vertex(*map(float, t[1]))
+        i2 = b.add_vertex(*map(float, t[2]))
+        b.add_triangle(i0, i1, i2)
+    scene = b.compile("cam")
+    scene_blk = scene.replace(blocks=build_blocks(scene.geom),
+                              accel_kind="blocks")
+    scene = scene.replace(accel_kind="brute")
+    o = rng.uniform(-0.5, 1.5, (n_ray, 3)).astype(np.float32)
+    d = rng.normal(size=(n_ray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmin = jnp.zeros((n_ray,))
+    tmax = jnp.full((n_ray,), 1e30)
+    hb = jax.jit(lambda: closest_hit(scene, o, d, tmin, tmax))()
+    ha = jax.jit(lambda: blocks_closest(scene_blk, o, d, tmin, tmax))()
+    assert np.array_equal(np.asarray(ha.valid), np.asarray(hb.valid))
+    m = np.asarray(hb.valid)
+    ta, tb = np.asarray(ha.t)[m], np.asarray(hb.t)[m]
+    assert np.allclose(ta, tb, rtol=1e-5, atol=1e-6)
+    # prim ids must agree except where two prims tie on t (shared edges):
+    # tie-break order legitimately differs (scan order vs morton order)
+    pa, pb = np.asarray(ha.prim)[m], np.asarray(hb.prim)[m]
+    differ = pa != pb
+    assert np.abs(ta[differ] - tb[differ]).max(initial=0.0) < 1e-5
+    assert differ.mean() < 0.01
+
+
 def test_deterministic():
     i1 = _render(spp=2)
     i2 = _render(spp=2)
