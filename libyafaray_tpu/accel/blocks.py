@@ -40,7 +40,9 @@ from .morton import morton3d
 Array = jax.Array
 
 MAX_BLOCKS = 4096      # cap on C so the per-chunk [N, C] key table is small
-MIN_BLOCK = 64         # minimum triangles per block (gather amortization)
+MIN_BLOCK = 128        # minimum triangles per block (gather amortization;
+                       # measured on TPU over a 205k-tri mesh: B=128 gives
+                       # 0.46 Mrays/s vs 0.20 @64 and 0.33 @256)
 RAY_CHUNK = 4096       # rays per lax.map chunk (bounds the key table to
                        # RAY_CHUNK*MAX_BLOCKS*4B = 64 MB)
 
@@ -135,23 +137,34 @@ def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
     hit_blk = (tn <= tf) & (tf >= t_min[:, None]) & (tn <= t_max[:, None])
     key = jnp.where(hit_blk, jnp.maximum(tn, t_min[:, None]), jnp.inf)
 
+    # ONE per-ray sort of block entry distances up front, then iterate
+    # blocks in sorted order. Replaces per-iteration argmin + scatter-
+    # invalidate over the [n, c] key table (2x26MB HBM traffic per step at
+    # n=4096, c=1600) with a single sort; the loop body then only reads one
+    # [n] column per step. Stored transposed [c, n] so each step's column
+    # read is a contiguous row slice.
+    skey, order = jax.lax.sort((key, jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32), (n, c))), dimension=1, num_keys=1)
+    skey_t = skey.T          # f32[c, n] entry distance, ascending per ray
+    order_t = order.T        # i32[c, n] block id per sorted position
+
     rows = jnp.arange(n)
 
-    def active_of(key_, best_t, best_prim):
-        kmin = jnp.min(key_, axis=1)
-        act = kmin <= best_t
+    def cond(st):
+        best_t, best_prim, _, it = st
+        nxt = jax.lax.dynamic_index_in_dim(skey_t, it, keepdims=False)
+        act = nxt <= best_t
         if any_hit:
             act = act & (best_prim < 0)
-        return act
-
-    def cond(st):
-        key_, best_t, best_prim, _, it = st
-        return (it < c) & jnp.any(active_of(key_, best_t, best_prim))
+        return (it < c) & jnp.any(act)
 
     def body(st):
-        key_, best_t, best_prim, best_uv, it = st
-        j = jnp.argmin(key_, axis=1).astype(jnp.int32)        # [n]
-        act = active_of(key_, best_t, best_prim)
+        best_t, best_prim, best_uv, it = st
+        j = jax.lax.dynamic_index_in_dim(order_t, it, keepdims=False)
+        nxt = jax.lax.dynamic_index_in_dim(skey_t, it, keepdims=False)
+        act = nxt <= best_t
+        if any_hit:
+            act = act & (best_prim < 0)
         # ONE row-gather per table: [n, b, 9] / [n, b, 2] contiguous slices
         g = acc.geo[j]
         m = acc.meta[j]
@@ -170,12 +183,11 @@ def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
         best_uv = jnp.where(better[:, None],
                             jnp.stack([u[rows, jt], v[rows, jt]], -1),
                             best_uv)
-        key_ = key_.at[rows, j].set(jnp.inf)
-        return key_, best_t, best_prim, best_uv, it + 1
+        return best_t, best_prim, best_uv, it + 1
 
-    init = (key, t_max, jnp.full((n,), -1, jnp.int32),
+    init = (t_max, jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n, 2), jnp.float32), jnp.int32(0))
-    _, best_t, best_prim, best_uv, _ = jax.lax.while_loop(cond, body, init)
+    best_t, best_prim, best_uv, _ = jax.lax.while_loop(cond, body, init)
     return best_t, best_prim, best_uv
 
 
@@ -188,6 +200,24 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
     n = o.shape[0]
     chunk = min(RAY_CHUNK, max(256, n))
     pad = (-n) % chunk
+    inv_order = None
+    if n > chunk:
+        # Sort rays by (direction octant, origin morton cell) before
+        # chunking: each chunk's while_loop runs only as long as ITS worst
+        # ray needs, so grouping similar rays cuts total iterations (the
+        # TPU analogue of the tile/packet coherence the reference gets for
+        # free from its per-pixel recursion order).
+        smin = jnp.min(acc.bmin, axis=0)
+        sinv = 1.0 / jnp.maximum(jnp.max(acc.bmax, axis=0) - smin, 1e-12)
+        rel = jnp.clip((o - smin) * sinv, 0.0, 1.0)
+        okey = morton3d(rel) >> jnp.uint32(9)           # 21 bits
+        oct_ = ((d[:, 0] >= 0).astype(jnp.uint32)
+                | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+                | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+        order = jnp.argsort((oct_ << jnp.uint32(21)) | okey).astype(jnp.int32)
+        inv_order = jnp.argsort(order).astype(jnp.int32)
+        o, d = o[order], d[order]
+        t_min, t_max, exclude = t_min[order], t_max[order], exclude[order]
     def padded(x, fill):
         return jnp.concatenate(
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
@@ -205,6 +235,11 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
             (os_, ds_, tmins, tmaxs, excl))
         bt, bp, buv = bt.reshape(-1), bp.reshape(-1), buv.reshape(-1, 2)
     bt, bp, buv = bt[:n], bp[:n], buv[:n]
+    if inv_order is not None:
+        bt, bp, buv = bt[inv_order], bp[inv_order], buv[inv_order]
+        o, d = o[inv_order], d[inv_order]
+        t_min, t_max, exclude = (t_min[inv_order], t_max[inv_order],
+                                 exclude[inv_order])
 
     # analytic spheres: dense pass (few per scene)
     s = geom.num_spheres

@@ -241,6 +241,15 @@ def save_image(path: str, img: np.ndarray, color_space: str = "sRGB",
         save_tga(path, img, srgb)
     elif low.endswith(".hdr"):
         save_hdr(path, img)
+    elif low.endswith(".exr"):
+        from .exr import save_exr
+        save_exr(path, np.asarray(img, np.float32))
+    elif low.endswith((".jpg", ".jpeg", ".tif", ".tiff")):
+        from PIL import Image
+        arr = _to_u8(np.asarray(img), srgb)
+        if low.endswith((".jpg", ".jpeg")) and arr.shape[-1] == 4:
+            arr = arr[..., :3]  # JPEG has no alpha
+        Image.fromarray(arr).save(path)
     else:
         raise KeyError(f"unknown image format for {path!r}")
 
@@ -253,4 +262,17 @@ def load_image(path: str) -> np.ndarray:
         return load_tga(path)
     if low.endswith(".hdr"):
         return load_hdr(path)
+    if low.endswith(".exr"):
+        from .exr import load_exr
+        return load_exr(path)
+    if low.endswith((".jpg", ".jpeg", ".tif", ".tiff")):
+        from PIL import Image
+        arr = np.asarray(Image.open(path))
+        if arr.dtype in (np.uint8, np.uint16):
+            arr = arr.astype(np.float32) / (255.0 if arr.dtype == np.uint8
+                                            else 65535.0)
+            if arr.ndim == 3 and arr.shape[-1] >= 3:  # sRGB-encoded LDR
+                arr = np.asarray(C.srgb_to_linear(arr))
+            return arr
+        return arr.astype(np.float32)
     raise KeyError(f"unknown image format for {path!r}")

@@ -116,3 +116,48 @@ def test_ray_slab():
     hit, tn, tf = bound.ray_slab(bmin, bmax, o, inv, 0.0, 100.0)
     assert bool(hit[0]) and not bool(hit[1])
     np.testing.assert_allclose(float(tn[0]), 1.0, atol=1e-5)
+
+
+def test_image_format_roundtrips(tmp_path):
+    """Format parity (reference src/format/*: tga hdr exr jpg png tif).
+    EXR is implemented natively (io/exr.py) including multi-layer files,
+    the reference's only multi-layer output (format_exr.cc)."""
+    from libyafaray_tpu.io import save_image, load_image
+    from libyafaray_tpu.io.exr import save_exr, load_exr
+    rng = np.random.default_rng(0)
+    hdr_img = rng.random((9, 11, 3)).astype(np.float32) * 4.0
+    # smooth gradient for the lossy-codec roundtrips (noise is a JPEG
+    # worst case and only measures DCT error, not our plumbing)
+    gy, gx = np.mgrid[0:9, 0:11].astype(np.float32)
+    ldr_img = np.stack([gx / 10.0, gy / 8.0, 0.5 + 0 * gx], -1)
+
+    p = str(tmp_path / "t.exr")
+    save_image(p, hdr_img, color_space="LinearRGB")
+    np.testing.assert_array_equal(load_image(p)[..., :3], hdr_img)
+
+    p = str(tmp_path / "t.hdr")
+    save_image(p, hdr_img, color_space="LinearRGB")
+    back = load_image(p)
+    # RGBE shares one exponent across channels: error bounded by the
+    # pixel's max channel, not per-channel relative
+    ptol = 0.01 * hdr_img.max(axis=-1, keepdims=True)
+    assert (np.abs(back - hdr_img) <= ptol + 1e-4).all()
+
+    for ext, tol in (("png", 0.01), ("tga", 0.01), ("jpg", 0.1),
+                     ("tif", 0.01)):
+        p = str(tmp_path / f"t.{ext}")
+        save_image(p, ldr_img)  # sRGB 8-bit; loaders return linear floats
+        back = load_image(p)[..., :3]
+        assert np.abs(back - ldr_img).mean() < tol, ext
+
+    # multi-layer EXR (half precision) with layer selection
+    layers = {"combined": hdr_img,
+              "normals": rng.standard_normal((9, 11, 3)).astype(np.float32)}
+    p = str(tmp_path / "ml.exr")
+    save_exr(p, layers, half=True)
+    got = load_exr(p, layer="*")
+    assert set(got) == {"", "normals"}
+    np.testing.assert_allclose(got["normals"], layers["normals"],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(load_exr(p, layer="normals"),
+                               layers["normals"], rtol=2e-3, atol=2e-3)

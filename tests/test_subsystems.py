@@ -127,6 +127,28 @@ def test_render_views():
     assert i_view[..., :3].mean() < i_all[..., :3].mean()
 
 
+def test_dynamic_scene_mutation_between_renders():
+    """test04 analogue (reference tests/test04/test04.c: 'dynamic scene
+    with changes on the fly'): render, replace an existing material by
+    name, re-compile, re-render — the second image reflects the change."""
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 24
+    b.cameras["cam"]["resy"] = 24
+    cfg = make_integrator({"type": "pathtracing", "bounces": 3})
+    img1 = np.asarray(F.resolve(
+        render(b.compile("cam"), cfg, spp=4), "combined"))
+    # replace the red wall with blue (same registry name, like
+    # yafaray_createMaterial("MaterialDynamic") called twice)
+    b.create_material("red", {"type": "shinydiffusemat",
+                              "color": (0.05, 0.05, 0.65)})
+    img2 = np.asarray(F.resolve(
+        render(b.compile("cam"), cfg, spp=4), "combined"))
+    w1 = img1[:, :5, :3].mean(axis=(0, 1))
+    w2 = img2[:, :5, :3].mean(axis=(0, 1))
+    assert w1[0] > w1[2], f"first render left wall not red: {w1}"
+    assert w2[2] > w2[0], f"mutated render left wall not blue: {w2}"
+
+
 def test_dispersion_produces_color():
     """A dispersive glass slab splits white light into wavelengths: paths
     through it should show chromatic variation absent with dispersion 0."""
