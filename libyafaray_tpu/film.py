@@ -44,7 +44,27 @@ LAYER_CHANNELS = {
     "debug-nv": 3,
     "debug-dpdu": 3,
     "debug-dpdv": 3,
+    "debug-dsdu": 3,
+    "debug-dsdv": 3,
+    "debug-barycentric-uvw": 3,
+    "debug-wireframe": 3,
     "mist": 1,
+    "mat-index-norm": 1,
+    "obj-index-norm": 1,
+    "mat-index-auto": 3,
+    "obj-index-auto": 3,
+    "mat-index-auto-abs": 3,
+    "obj-index-auto-abs": 3,
+    "mat-index-mask": 3,
+    "obj-index-mask": 3,
+    "diffuse-noshadow": 3,
+    "ao-clay": 3,
+    "debug-aa-samples": 1,
+    "debug-faces-edges": 3,
+    "debug-objects-edges": 3,
+    "toon": 3,
+    "reflect": 3,
+    "refract": 3,
 }
 
 
@@ -152,9 +172,32 @@ def add_samples(film: Film, px: Array, py: Array,
     return film.replace(weights=weights, layers=layers)
 
 
+# layers computed at flush from other layers / the weight buffer rather
+# than accumulated per sample (ImageFilm::flush edge/toon post,
+# image_manipulation.cc:103-113; debug-aa-samples from the sample counts)
+FLUSH_LAYERS = ("debug-aa-samples", "debug-faces-edges",
+                "debug-objects-edges", "toon")
+
+
 def resolve(film: Film, layer: str = "combined") -> Array:
-    """Normalize accumulated layer by weights (ImageFilm::flush normalize)."""
+    """Normalize accumulated layer by weights (ImageFilm::flush normalize).
+    A few debug layers are derived at flush instead of accumulated."""
     w = jnp.maximum(film.weights, 1e-12)[..., None]
+    if layer == "debug-aa-samples":
+        return film.weights[..., None]
+    if layer in ("debug-faces-edges", "debug-objects-edges", "toon"):
+        import numpy as np
+        from .io import postprocess as PP
+        if layer == "debug-objects-edges" and "obj-index-abs" in film.layers:
+            src = np.asarray(film.layers["obj-index-abs"] / w)
+            e = PP.sobel_edges(np.repeat(src, 3, axis=-1), 1e-4)
+            return jnp.asarray(np.repeat(e[..., None], 3, axis=-1))
+        base = "normal-geom" if "normal-geom" in film.layers else "combined"
+        src = np.asarray(film.layers[base] / w)[..., :3]
+        if layer == "toon":
+            return jnp.asarray(PP.toon(src))
+        e = PP.sobel_edges(src, 0.3)
+        return jnp.asarray(np.repeat(e[..., None], 3, axis=-1))
     return film.layers[layer] / w
 
 

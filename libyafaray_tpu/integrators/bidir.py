@@ -672,7 +672,8 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
     from .mc import _first_hit_layers
     aux = _first_hit_layers(scene, cfg, first_sp, ray_d) if first_sp is not \
         None else {}
-    if scene.volumes is not None and cfg.vol_kind != "none":
+    if (scene.volumes is not None or cfg.vol_kind == "sky") \
+            and cfg.vol_kind != "none":
         from .volume import apply_volumetric
         radiance = apply_volumetric(scene, cfg, radiance, ray_o, ray_d,
                                     first_hit_t, pixel_id, sample_idx)

@@ -57,6 +57,13 @@ class IntegratorConfig:
     # factory types EmissionIntegrator / SingleScatterIntegrator / SkyIntegrator)
     vol_kind: str = struct.field(pytree_node=False, default="single_scatter")
     vol_steps: int = struct.field(pytree_node=False, default=16)
+    # single-scatter attenuation-grid cache (param "optimize",
+    # integrator_single_scatter.cc:35-108)
+    vol_optimize: bool = struct.field(pytree_node=False, default=False)
+    # sky integrator params (SkyIntegrator::factory, integrator_sky.cc:198)
+    sky_alpha: float = struct.field(pytree_node=False, default=0.5)
+    sky_turbidity: float = struct.field(pytree_node=False, default=3.0)
+    sky_scale: float = struct.field(pytree_node=False, default=0.1)
     # photon mapping (integrator_photon_mapping.cc params)
     n_photons: int = struct.field(pytree_node=False, default=100_000)
     pm_radius: float = struct.field(pytree_node=False, default=0.05)
@@ -68,6 +75,11 @@ class IntegratorConfig:
     # path tracer caustic modes: "none"|"path"|"photon"|"both"
     # (integrator_path_tracer.cc:325-345)
     caustic_type: str = struct.field(pytree_node=False, default="path")
+    # index-mask layer params (reference mask_mat_index / mask_obj_index
+    # render params feeding the *-index-mask layers)
+    mask_mat_index: int = struct.field(pytree_node=False, default=0)
+    mask_obj_index: int = struct.field(pytree_node=False, default=0)
+    mask_invert: bool = struct.field(pytree_node=False, default=False)
 
 
 def make_integrator(pm: dict) -> IntegratorConfig:
@@ -94,11 +106,15 @@ def make_integrator(pm: dict) -> IntegratorConfig:
         clamp_indirect=pm.get_float("clamp_indirect", 0.0),
         vol_kind={"EmissionIntegrator": "emission",
                   "SingleScatterIntegrator": "single_scatter",
-                  "SkyIntegrator": "single_scatter",
+                  "SkyIntegrator": "sky",
                   "none": "none"}.get(
             pm.get_string("volume_integrator", "SingleScatterIntegrator"),
             "single_scatter"),
         vol_steps=pm.get_int("volume_steps", 16),
+        vol_optimize=pm.get_bool("optimize", False),
+        sky_alpha=pm.get_float("alpha", 0.5),
+        sky_turbidity=pm.get_float("turbidity", 3.0),
+        sky_scale=pm.get_float("sigma_t", 0.1),
         n_photons=pm.get_int("photons", 100_000),
         pm_radius=pm.get_float("diffuseRadius", pm.get_float("causticRadius",
                                                              0.05)),
@@ -106,6 +122,9 @@ def make_integrator(pm: dict) -> IntegratorConfig:
         caustic_type=pm.get_string("caustic_type", "path"),
         final_gather=pm.get_bool("finalGather", True),
         fg_samples=pm.get_int("fg_samples", 16),
+        mask_mat_index=pm.get_int("layer_mask_mat_index", 0),
+        mask_obj_index=pm.get_int("layer_mask_obj_index", 0),
+        mask_invert=pm.get_bool("layer_mask_invert", False),
     )
 
 
@@ -181,6 +200,11 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     # wavelength; the first dispersive refraction collapses the path to it
     # and tints the throughput by 3 * wl2rgb(wl) (spectral decomposition)
     path_wl = sampler.rand1(pixel_id, sample_idx, 0, 555)
+    if scene.fixed_wavelength is not None:
+        # spectral render view (RenderView::getWaveLength): every path uses
+        # the view's fixed wavelength instead of per-path sampling
+        path_wl = jnp.where(scene.fixed_wavelength > 0.0,
+                            scene.fixed_wavelength, path_wl)
     chromatic = jnp.zeros((n,), bool)
     # per-sample shutter time for motion blur (BsTriangle ray.time analogue)
     if ray_time is None and scene.geom.has_motion:
@@ -203,6 +227,10 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                             exclude_prim=prev_prim, time=ray_time)
         hit = hit.replace(valid=hit.valid & alive)
         sp = S.make_surface(scene, hit, o, d)
+        if depth == 0:
+            # primary hits carry a screen-space footprint for mipmap/EWA
+            # texture filtering (SurfacePoint differentials analogue)
+            sp = S.compute_differentials(scene, sp, d)
         sp = bump_normal(scene, sp)
         wo = -d
 
@@ -289,6 +317,16 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
             radiance = radiance + jnp.where(
                 alive[..., None],
                 throughput * ao * mp.diffuse_color / jnp.pi * 1.0, 0.0)
+            if "ao" in cfg.aov_layers:
+                aux["ao"] = jnp.where(alive[..., None], ao, 0.0)
+            if "ao-clay" in cfg.aov_layers:
+                aux["ao-clay"] = jnp.where(alive[..., None], ao, 0.0)
+
+        if depth == 0:
+            # snapshot for the reflect/refract layers: whatever radiance
+            # arrives after the first bounce is attributed to the path's
+            # first specular branch (ReflectAll/RefractAll layers)
+            radiance_d0 = radiance
 
         if depth == max_depth - 1:
             break
@@ -297,6 +335,10 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         u1, u2, u3, u_rr = jnp.moveaxis(
             sampler.rand4(pixel_id, sample_idx, depth, 2), -1, 0)
         ms = B.sample_bsdf(scene, sp, wo, u1, u2, u3, wl=path_wl)
+        if depth == 0:
+            transmitted = vec.dot(ms.wi, sp.ng) * vec.dot(wo, sp.ng) < 0.0
+            spec0 = alive & ms.valid & ms.is_delta
+            path_kind = jnp.where(spec0, jnp.where(transmitted, 2, 1), 0)
         cont = alive & ms.valid
         if direct_only or cfg.no_recursive:
             # only specular/delta continuation (recursiveRaytrace analogue)
@@ -327,9 +369,17 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         d = ms.wi
 
     alpha = jnp.clip(alpha, 0.0, 1.0)
+    if max_depth > 1 and ("reflect" in cfg.aov_layers
+                          or "refract" in cfg.aov_layers):
+        extra = radiance - radiance_d0
+        if "reflect" in cfg.aov_layers:
+            aux["reflect"] = jnp.where((path_kind == 1)[..., None], extra, 0.0)
+        if "refract" in cfg.aov_layers:
+            aux["refract"] = jnp.where((path_kind == 2)[..., None], extra, 0.0)
     # volumetric wrap-up over the camera segment (applyVolumetricEffects,
     # integrator_tiled.cc:694): L = T(seg) * L_surface + L_volume(seg)
-    if scene.volumes is not None and cfg.vol_kind != "none":
+    if (scene.volumes is not None or cfg.vol_kind == "sky") \
+            and cfg.vol_kind != "none":
         from .volume import apply_volumetric
         radiance = apply_volumetric(scene, cfg, radiance, ray_o, ray_d,
                                     first_hit_t, pixel_id, sample_idx)
@@ -373,7 +423,82 @@ def _first_hit_layers(scene, cfg, sp, d) -> Dict[str, Array]:
             out[name] = jnp.where(v, vec.normalize(sp.dp_du) * 0.5 + 0.5, 0.0)
         elif name == "debug-dpdv":
             out[name] = jnp.where(v, vec.normalize(sp.dp_dv) * 0.5 + 0.5, 0.0)
+        elif name == "debug-dsdu":
+            # shading-space tangents (reference dSdU/dSdV, surface.h): the
+            # dp_du projected into the bump-mapped shading frame = nu/nv
+            out[name] = jnp.where(v, sp.nu * 0.5 + 0.5, 0.0)
+        elif name == "debug-dsdv":
+            out[name] = jnp.where(v, sp.nv * 0.5 + 0.5, 0.0)
+        elif name == "debug-barycentric-uvw" and sp.bary is not None:
+            u_, v_ = sp.bary[..., 0], sp.bary[..., 1]
+            out[name] = jnp.where(v, jnp.stack(
+                [1.0 - u_ - v_, u_, v_], -1), 0.0)
+        elif name == "debug-wireframe" and sp.bary is not None:
+            u_, v_ = sp.bary[..., 0], sp.bary[..., 1]
+            edge = jnp.minimum(jnp.minimum(u_, v_), 1.0 - u_ - v_)
+            wire = jnp.clip(1.0 - edge / 0.02, 0.0, 1.0)[..., None]
+            out[name] = jnp.where(v, wire * jnp.ones(3), 0.0)
+        elif name == "mist":
+            out[name] = jnp.where(v, sp.t[..., None], 0.0)
+        elif name == "mat-index-norm":
+            m = max(scene.materials.num_materials, 1)
+            out[name] = jnp.where(
+                v, sp.mat_id[..., None].astype(jnp.float32) / m, 0.0)
+        elif name == "obj-index-norm":
+            m = jnp.maximum(scene.geom.face_obj.max(), 1).astype(jnp.float32)
+            out[name] = jnp.where(
+                v, sp.obj_id[..., None].astype(jnp.float32) / m, 0.0)
+        elif name in ("mat-index-auto", "mat-index-auto-abs",
+                      "obj-index-auto", "obj-index-auto-abs"):
+            idx = sp.mat_id if name.startswith("mat") else sp.obj_id
+            out[name] = jnp.where(v, _auto_index_color(idx), 0.0)
+        elif name in ("mat-index-mask", "obj-index-mask"):
+            idx, want = ((sp.mat_id, cfg.mask_mat_index)
+                         if name.startswith("mat")
+                         else (sp.obj_id, cfg.mask_obj_index))
+            m = (idx == want)
+            if cfg.mask_invert:
+                m = ~m
+            out[name] = jnp.where(v & m[..., None], jnp.ones(3),
+                                  jnp.zeros(3))
+        elif name in ("diffuse", "diffuse-noshadow"):
+            out[name] = _direct_diffuse_layer(
+                scene, cfg, sp, -d, shadowed=(name == "diffuse"))
+        elif name == "ao-clay":
+            pass  # filled by the AO estimate in the main loop when do_AO
     return out
+
+
+def _auto_index_color(idx) -> Array:
+    """Deterministic hash color per index (reference *-index-auto layers)."""
+    h = (idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    r = ((h >> 0) & 0x3FF).astype(jnp.float32) / 1023.0
+    g = ((h >> 10) & 0x3FF).astype(jnp.float32) / 1023.0
+    b = ((h >> 20) & 0x3FF).astype(jnp.float32) / 1023.0
+    return jnp.stack([r, g, b], -1)
+
+
+def _direct_diffuse_layer(scene, cfg, sp, wo, shadowed: bool) -> Array:
+    """Direct diffuse estimate for the diffuse / diffuse-noshadow layers
+    (reference accumulates these during doLightEstimation)."""
+    num_lights = scene.lights.num_lights
+    if num_lights == 0:
+        return jnp.zeros(sp.p.shape, jnp.float32)
+    mp = B.resolve_mp(scene, sp)
+    albedo = mp.diffuse_color / jnp.pi
+    acc = jnp.zeros(sp.p.shape, jnp.float32)
+    for li in range(num_lights):
+        lidx = jnp.full(sp.p.shape[:1], li, jnp.int32)
+        ls = L.sample_light(scene, lidx, sp.p, sp.n,
+                            jnp.full(sp.p.shape[:1], 0.5),
+                            jnp.full(sp.p.shape[:1], 0.5))
+        cos_s = jnp.maximum(vec.dot(ls.wi, sp.n), 0.0)
+        tr = (common.trace_shadow(scene, sp.p, sp.prim, ls.wi, ls.dist)
+              if shadowed else jnp.ones_like(acc))
+        w = jnp.where(ls.valid & sp.valid,
+                      cos_s / jnp.maximum(ls.pdf, 1e-9), 0.0)
+        acc = acc + albedo * ls.radiance * tr * w[..., None]
+    return acc
 
 
 def _integrate_debug(scene, cfg, ray_o, ray_d, ray_valid):

@@ -104,7 +104,20 @@ def _eval_node(scene: SceneData, sp, i: int, cols, vals, p=None):
         uv = jnp.stack([0.5 * (pt[..., 0] + 1.0),
                         0.5 * (pt[..., 1] + 1.0)], -1)
         tid = jnp.full((n,), tex_id, jnp.int32)
-        rgba = sample_texture(scene, tid, pt, uv)
+        duv_dx = duv_dy = None
+        if sp.duv_dx is not None and p is None:
+            # footprint through the full mapping chain: re-run _tex_coords
+            # at the uv-offset surface point (exact for the linear uv
+            # mappings; first-order for the projections)
+            pt_x = _tex_coords(scene, sp.replace(
+                uv=sp.uv + sp.duv_dx,
+                p=sp.p + sp.dp_dx, orco=sp.orco + sp.dp_dx), i)
+            pt_y = _tex_coords(scene, sp.replace(
+                uv=sp.uv + sp.duv_dy,
+                p=sp.p + sp.dp_dy, orco=sp.orco + sp.dp_dy), i)
+            duv_dx = 0.5 * (pt_x[..., :2] - pt[..., :2])
+            duv_dy = 0.5 * (pt_y[..., :2] - pt[..., :2])
+        rgba = sample_texture(scene, tid, pt, uv, duv_dx, duv_dy)
         val = rgba[..., :3].mean(-1)
         cols.append(rgba)
         vals.append(val)

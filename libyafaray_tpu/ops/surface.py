@@ -35,6 +35,14 @@ class SurfacePoint:
     light_id: Array # i32[N] area/mesh light covering this prim, or -1
     prim: Array     # i32[N] primitive id (for self-intersection exclusion)
     t: Array        # f32[N] ray parameter of the hit
+    bary: Array = None  # f32[N,2] triangle barycentrics (u,v) of the hit
+    # screen-space footprint (primary hits only; reference SurfacePoint
+    # differentials, surface.h:70,123-133): world-space pixel axes and the
+    # corresponding uv-space derivatives for mipmap/EWA texture filtering
+    dp_dx: Array = None  # f32[N,3]
+    dp_dy: Array = None  # f32[N,3]
+    duv_dx: Array = None  # f32[N,2]
+    duv_dy: Array = None  # f32[N,2]
 
 
 def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
@@ -129,4 +137,50 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
         light_id=jnp.where(hit.valid, light_id, -1),
         prim=jnp.where(hit.valid, hit.prim, -1),
         t=hit.t,
+        bary=hit.uv,
     )
+
+
+def compute_differentials(scene: SceneData, sp: SurfacePoint,
+                          d: Array) -> SurfacePoint:
+    """Attach screen-space footprint differentials to primary-hit surface
+    points (the analogue of the reference's SurfacePoint UV-differential
+    computation for mipmapping, surface.h:123-133 / surface.cc).
+
+    Instead of tracing offset rays, the one-pixel footprint is derived
+    analytically: radius r = t * pixel_spread in the two directions
+    perpendicular to the ray, projected onto the surface tangent plane
+    along the ray, then converted to uv space by solving the 2x2
+    least-squares system against dp_du/dp_dv (PBRT-style)."""
+    if scene.pixel_spread is None:
+        return sp
+    r = sp.t * scene.pixel_spread
+    # orthonormal frame perpendicular to the ray
+    e1 = vec.normalize(jnp.cross(d, jnp.where(
+        jnp.abs(d[..., 2:3]) < 0.9,
+        jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0]))))
+    e2 = jnp.cross(d, e1)
+    # project the offset onto the tangent plane along the ray direction
+    dn = vec.dot(d, sp.ng, keepdims=True)
+    dn = jnp.where(jnp.abs(dn) < 1e-6, jnp.where(dn < 0, -1e-6, 1e-6), dn)
+    ax = (e1 - d * (vec.dot(e1, sp.ng, keepdims=True) / dn)) * r[..., None]
+    ay = (e2 - d * (vec.dot(e2, sp.ng, keepdims=True) / dn)) * r[..., None]
+    # solve [dp_du dp_dv] [du dv]^T = axis for each axis (2x2 normal eqs)
+    a11 = vec.dot(sp.dp_du, sp.dp_du)
+    a12 = vec.dot(sp.dp_du, sp.dp_dv)
+    a22 = vec.dot(sp.dp_dv, sp.dp_dv)
+    det = a11 * a22 - a12 * a12
+    inv_det = jnp.where(jnp.abs(det) > 1e-18, 1.0 / det, 0.0)
+
+    def solve(axis):
+        b1 = vec.dot(axis, sp.dp_du)
+        b2 = vec.dot(axis, sp.dp_dv)
+        du = (a22 * b1 - a12 * b2) * inv_det
+        dv = (a11 * b2 - a12 * b1) * inv_det
+        return jnp.stack([du, dv], -1)
+
+    v = sp.valid[..., None]
+    return sp.replace(dp_dx=jnp.where(v, ax, 0.0),
+                      dp_dy=jnp.where(v, ay, 0.0),
+                      duv_dx=jnp.where(v, solve(ax), 0.0),
+                      duv_dy=jnp.where(v, solve(ay), 0.0))

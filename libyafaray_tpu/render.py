@@ -138,6 +138,13 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
     # photon-map preprocess (SurfaceIntegrator::preprocess analogue,
     # integrator_photon_mapping.cc:242; processing modes generate /
     # generate-save / load / reuse-previous, :790-846)
+    # per-light volume attenuation grid cache ("optimize" mode,
+    # integrator_single_scatter.cc:35-108)
+    if (scene.volumes is not None and cfg.vol_kind == "single_scatter"
+            and cfg.vol_optimize and scene.vol_atten is None
+            and scene.lights.num_lights > 0):
+        from .integrators.volume import build_attenuation_grid
+        scene = scene.replace(vol_atten=jax.jit(build_attenuation_grid)(scene))
     if cfg.kind == "photonmapping" and scene.photons is None:
         from . import photon as PH
         from .scene_types import PhotonData

@@ -270,6 +270,10 @@ class SceneBuilder:
                              flags & ~FLAG_ENABLED)
             scene = scene.replace(lights=scene.lights.replace(
                 flags=jnp.asarray(flags)))
+        wl = pm.get_float("wavelength", 0.0)
+        if wl:
+            import jax.numpy as jnp
+            scene = scene.replace(fixed_wavelength=jnp.float32(wl))
         return scene
 
     def compile(self, camera_name: Optional[str] = None) -> SceneData:
@@ -308,6 +312,11 @@ class SceneBuilder:
             ray_min_dist=jnp.float32(self.render_params.get_float(
                 "ray_min_dist", 5e-5)),
         )
+        if camera is not None:
+            # one-pixel angular footprint for primary-hit mipmap/EWA LOD
+            focal = max(float(camera.focal), 1e-6)
+            scene = scene.replace(pixel_spread=jnp.float32(
+                1.0 / (max(camera.resx, 1) * focal)))
         # accelerator choice (scene_accelerator param, scene.cc:610,1047):
         # the reference kd-tree names map to the TPU-native block accel
         # (the production path); "bvh" keeps the Karras LBVH; "brute" /

@@ -371,3 +371,12 @@ class SceneData:
     accel_kind: str = struct.field(pytree_node=False, default="brute")
     shadow_bias: Array = None   # f32 scalar
     ray_min_dist: Array = None  # f32 scalar
+    # per-view fixed spectral wavelength in [0,1]; 0 = sample per path
+    # (RenderView::isSpectral, render_view.h:47-48)
+    fixed_wavelength: Array = None  # f32 scalar
+    # angular size of one pixel (for primary-hit texture footprints /
+    # mipmap LOD; the reference carries ray differentials instead)
+    pixel_spread: Array = None  # f32 scalar
+    # per-light volume attenuation cache (atten[L,G,G,G,3], bmin, bmax);
+    # SingleScatterIntegrator "optimize" grid (integrator_single_scatter.cc)
+    vol_atten: Any = None

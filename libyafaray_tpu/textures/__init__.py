@@ -42,11 +42,13 @@ def build_texture_pool(builder) -> Optional[TexturePool]:
     return build_pool(builder)
 
 
-def sample_texture(scene: SceneData, tex_id: Array, p: Array, uv: Array) -> Array:
+def sample_texture(scene: SceneData, tex_id: Array, p: Array, uv: Array,
+                   duv_dx: Array = None, duv_dy: Array = None) -> Array:
     """Evaluate texture per lane (dynamic id): rgba. Dispatches into the
-    masked procedural evaluators + image pool gather."""
+    masked procedural evaluators + image pool gather. Optional uv-space
+    screen derivatives drive mipmap/EWA filtering."""
     from .eval import eval_textures
-    return eval_textures(scene, tex_id, p, uv)
+    return eval_textures(scene, tex_id, p, uv, duv_dx=duv_dx, duv_dy=duv_dy)
 
 
 def _dir_to_equirect_uv(d: Array, rotation: Array) -> Array:

@@ -102,7 +102,8 @@ def apply_adjustments(pool, tex_id: Array, col: Array) -> Array:
 
 
 def eval_textures(scene: SceneData, tex_id: Array, p: Array, uv: Array,
-                  lod: Array = None) -> Array:
+                  lod: Array = None, duv_dx: Array = None,
+                  duv_dy: Array = None) -> Array:
     """rgba per lane for dynamic texture ids."""
     pool = scene.textures
     if pool is None or pool.num_textures == 0:
@@ -111,7 +112,7 @@ def eval_textures(scene: SceneData, tex_id: Array, p: Array, uv: Array,
     col, inten = eval_procedural(pool, tex_id, p, pool.used_types,
                                  pool.used_noise, pool.max_octaves)
     if TEX_IMAGE in pool.used_types:
-        img = sample_image(pool, tex_id, uv, lod)
+        img = sample_image(pool, tex_id, uv, lod, duv_dx, duv_dy)
         is_img = pool.tex_type[tex_id] == TEX_IMAGE
         col = jnp.where(is_img[..., None], img, col)
         inten = jnp.where(is_img, img[..., :3].mean(-1), inten)

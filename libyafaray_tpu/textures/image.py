@@ -100,11 +100,26 @@ def _sample_level(pool: TexturePool, tex_id: Array, u: Array, v: Array,
     return out
 
 
+def vec_norm2(x):
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 1e-20))
+
+
+EWA_TAPS = 8            # fixed probe count along the ellipse major axis
+EWA_MAX_ANISOTROPY = 8.0  # reference default (texture_image.cc:547)
+
+
 def sample_image(pool: TexturePool, tex_id: Array, uv: Array,
-                 lod: Array = None):
+                 lod: Array = None, duv_dx: Array = None,
+                 duv_dy: Array = None):
     """Sample image textures at uv (any real values; wrap applies).
-    Returns rgba[N,4]. `lod` (optional, per-lane float) selects the mip
-    level for trilinear/EWA interpolation modes."""
+    Returns rgba[N,4]. Mip selection: either an explicit per-lane `lod`,
+    or uv-space screen derivatives (duv_dx/duv_dy) from which trilinear
+    LOD and the EWA anisotropy ellipse are derived. EWA
+    (interpolation "mipmap_ewa", texture_image.cc:345-443) is realised as
+    EWA_TAPS Gaussian-weighted trilinear probes along the footprint's
+    major axis with the mip level picked from the minor axis — the
+    fixed-footprint TPU form of the reference's variable-extent texel
+    loop (identical ellipse; quadrature instead of texel enumeration)."""
     pf = pool.params_f[tex_id]
     # crop window + repeat counts (texture_image.cc mapping chain)
     xrep = jnp.maximum(pf[..., 0], 1e-9)
@@ -125,22 +140,59 @@ def sample_image(pool: TexturePool, tex_id: Array, uv: Array,
     out = _sample_level(pool, tex_id, u % 1.0, v % 1.0, base0, w0, h0, interp)
 
     wants_mip = (interp == 3) | (interp == 4)
-    if lod is not None:
-        nm = pool.num_mips[tex_id]
-        lod_c = jnp.clip(lod + pf[..., 8], 0.0,
-                         jnp.maximum(nm - 1, 0).astype(jnp.float32))
+
+    def trilinear(uq, vq, lod_c):
         l0 = jnp.floor(lod_c).astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, jnp.maximum(nm - 1, 0))
+        l1 = jnp.minimum(l0 + 1, jnp.maximum(pool.num_mips[tex_id] - 1, 0))
         fl = (lod_c - l0.astype(jnp.float32))[..., None]
 
         def level(li):
             base = pool.mip_offsets[tex_id, li]
             wl = jnp.maximum(w0 >> li, 1)
             hl = jnp.maximum(h0 >> li, 1)
-            return _sample_level(pool, tex_id, u % 1.0, v % 1.0,
+            return _sample_level(pool, tex_id, uq % 1.0, vq % 1.0,
                                  jnp.maximum(base, 0), wl, hl,
                                  jnp.ones_like(interp))
-        tri = level(l0) * (1 - fl) + level(l1) * fl
+        return level(l0) * (1 - fl) + level(l1) * fl
+
+    nm_f = jnp.maximum(pool.num_mips[tex_id] - 1, 0).astype(jnp.float32)
+    if lod is None and duv_dx is not None:
+        # uv derivatives were computed in texture space scaled like u,v:
+        # account for crop/repeat scaling already applied to u,v above
+        sx = jnp.where(has_crop, xrep * (cmaxx - cminx), xrep)
+        sy = jnp.where(has_crop, yrep * (cmaxy - cminy), yrep)
+        dx = duv_dx * jnp.stack([sx, sy], -1)
+        dy = duv_dy * jnp.stack([sx, sy], -1)
+        # texel-space lengths of the two screen axes
+        tex_scale = jnp.stack([w0.astype(jnp.float32),
+                               h0.astype(jnp.float32)], -1)
+        lx = vec_norm2(dx * tex_scale)
+        ly = vec_norm2(dy * tex_scale)
+        major = jnp.maximum(lx, ly)
+        minor = jnp.minimum(lx, ly)
+        # clamp anisotropy (texture_image.cc:361-368)
+        minor = jnp.where(minor * EWA_MAX_ANISOTROPY < major,
+                          major / EWA_MAX_ANISOTROPY, minor)
+        lod_tri = jnp.clip(jnp.log2(jnp.maximum(major, 1e-9)) + pf[..., 8],
+                           0.0, nm_f)
+        lod_ewa = jnp.clip(jnp.log2(jnp.maximum(minor, 1e-9)) + pf[..., 8],
+                           0.0, nm_f)
+        tri = trilinear(u, v, lod_tri)
+        # EWA: Gaussian-weighted probes along the major axis
+        maj_uv = jnp.where((lx >= ly)[..., None], dx, dy)
+        ts = jnp.linspace(-0.5, 0.5, EWA_TAPS).astype(jnp.float32)
+        wts = jnp.exp(-2.0 * (ts * 2.0) ** 2)
+        wts = wts / wts.sum()
+        ewa = 0.0
+        for k in range(EWA_TAPS):
+            ewa = ewa + wts[k] * trilinear(u + ts[k] * maj_uv[..., 0],
+                                           v + ts[k] * maj_uv[..., 1],
+                                           lod_ewa)
+        out = jnp.where((interp == 3)[..., None], tri, out)
+        out = jnp.where((interp == 4)[..., None], ewa, out)
+    elif lod is not None:
+        lod_c = jnp.clip(lod + pf[..., 8], 0.0, nm_f)
+        tri = trilinear(u, v, lod_c)
         out = jnp.where(wants_mip[..., None], tri, out)
 
     # checker mode: odd tiles off -> transparent (even/odd tile toggles)

@@ -250,3 +250,34 @@ def test_photonmapping_final_gather(tmp_path):
                photon_maps_processing="load",
                photon_map_path=path), "combined"))[..., :3]
     np.testing.assert_allclose(img2, img, rtol=1e-5, atol=1e-6)
+
+
+def test_aov_layer_suite():
+    """Every declared AOV layer renders finite with plausible content
+    (layer system, layer_definitions.h:36-111; the reference never
+    asserted on layer values)."""
+    from scenes import _box
+    b = cornell_builder(extras=[("glass", {"type": "glass", "IOR": 1.5,
+                                           "filter_color": (1, 1, 1)})])
+    b.create_object("slab")
+    b.set_current_material("glass")
+    _box(b, (0.3, 0.4, 0.25), (0.2, 0.1, 0.2))
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    layers = list(F.LAYER_CHANNELS)
+    cfg = make_integrator({"type": "pathtracing", "bounces": 3,
+                           "layer_mask_mat_index": 1})
+    film = render(scene, cfg, 16, 16, spp=2, layer_names=layers)
+    spp_map = np.asarray(F.resolve(film, "debug-aa-samples"))
+    assert spp_map.min() == spp_map.max() == 2.0
+    d_s = np.asarray(F.resolve(film, "diffuse")).sum()
+    d_ns = np.asarray(F.resolve(film, "diffuse-noshadow")).sum()
+    assert 0 < d_s <= d_ns
+    for name in layers:
+        img = np.asarray(F.resolve(film, name))
+        assert np.isfinite(img).all(), name
+        assert img.shape[:2] == (16, 16), name
+    # barycentrics sum to 1 on every hit pixel
+    bc = np.asarray(F.resolve(film, "debug-barycentric-uvw"))
+    assert np.allclose(bc.sum(-1), 1.0, atol=1e-4)

@@ -264,3 +264,57 @@ TILT=NONE
     assert np.isfinite(img).all()
     # floor below the light (profile peak, pointing down) brighter than walls
     assert img[..., :3].mean() > 0.001
+
+
+def test_sky_integrator_atmosphere():
+    """SkyIntegrator analogue (integrator_sky.cc): Rayleigh+Mie march adds
+    in-scattered background light and attenuates the surface radiance."""
+    def build(vol):
+        b = cornell_builder()
+        b.create_background({"type": "constant", "color": (2.0, 2.0, 2.5)})
+        b.cameras["cam"]["resx"] = 16
+        b.cameras["cam"]["resy"] = 16
+        scene = b.compile("cam")
+        cfg = make_integrator({"type": "directlighting",
+                               "volume_integrator": vol,
+                               "alpha": 0.5, "turbidity": 3.0,
+                               "sigma_t": 0.4})
+        return np.asarray(F.resolve(render(scene, cfg, spp=2), "combined"))
+    base = build("none")
+    sky = build("SkyIntegrator")
+    assert np.isfinite(sky).all()
+    assert not np.allclose(sky, base)
+    # scattering towards the camera is additive on dark pixels
+    dark = base[..., :3].max(-1) < 0.05
+    if dark.any():
+        assert sky[..., :3].max(-1)[dark].mean() > base[..., :3].max(-1)[dark].mean()
+
+
+def test_render_view_fixed_wavelength():
+    """Spectral render views (RenderView wavelength, render_view.h:47):
+    a view with a fixed wavelength renders dispersive paths monochromatic
+    at that wavelength instead of sampling the spectrum per path."""
+    def build(wl):
+        b = cornell_builder(extras=[
+            ("glass", {"type": "glass", "IOR": 1.5,
+                       "dispersion_power": 0.5,
+                       "filter_color": (1, 1, 1)})])
+        b.create_object("slab")
+        b.set_current_material("glass")
+        from scenes import _box
+        _box(b, (0.3, 0.4, 0.25), (0.4, 0.1, 0.3))
+        b.cameras["cam"]["resx"] = 16
+        b.cameras["cam"]["resy"] = 16
+        pm = {"camera_name": "cam"}
+        if wl:
+            pm["wavelength"] = wl
+        b.create_render_view("v", pm)
+        return b.compile_view("v")
+
+    cfg = make_integrator({"type": "pathtracing", "bounces": 5})
+    img_s = np.asarray(F.resolve(render(build(0.0), cfg, spp=4), "combined"))
+    img_r = np.asarray(F.resolve(render(build(0.95), cfg, spp=4), "combined"))
+    img_b = np.asarray(F.resolve(render(build(0.05), cfg, spp=4), "combined"))
+    assert np.isfinite(img_r).all() and np.isfinite(img_b).all()
+    assert not np.allclose(img_r, img_s)
+    assert not np.allclose(img_r, img_b)

@@ -157,3 +157,100 @@ def test_bump_mapping_changes_shading():
                                         spp=2), "combined"))
     assert np.isfinite(img_b).all()
     assert np.abs(img_b - img_0).max() > 1e-3, "bump should alter the image"
+
+
+def test_ewa_anisotropic_filtering():
+    """EWA (texture_image.cc:345-443, 'mipmap_ewa'): with an anisotropic
+    screen footprint, EWA filters only along the major axis while
+    trilinear over-blurs by the major-axis LOD."""
+    import jax.numpy as jnp
+    from libyafaray_tpu.textures.image import sample_image
+    from scenes import cornell_builder
+    b = cornell_builder()
+    stripes = (np.indices((64, 64))[1] % 8 < 4).astype(np.float32)
+    img = np.repeat(stripes[..., None], 3, -1)
+    b.create_texture("s", {"type": "image", "interpolate": "mipmap_ewa"},
+                     image=img)
+    pool = b.compile("cam").textures
+    uv = jnp.array([[0.532, 0.41]] * 2)   # inside a white stripe
+    tid = jnp.zeros((2,), jnp.int32)
+    dx = jnp.array([[0.01, 0.0]] * 2)     # sharp in u
+    dy = jnp.array([[0.0, 0.4]] * 2)      # 25 texels in v
+    ewa = float(sample_image(pool, tid, uv, None, dx, dy)[0, 0])
+    tri = float(sample_image(
+        pool.replace(interp=jnp.full_like(pool.interp, 3)),
+        tid, uv, None, dx, dy)[0, 0])
+    assert ewa > 0.9, f"EWA lost detail across the minor axis: {ewa}"
+    assert tri < 0.7, f"trilinear should blur to the stripe mean: {tri}"
+    # isotropic footprint: both converge to the local mean
+    diso = jnp.full((2, 2), 0.2)
+    e_iso = float(sample_image(pool, tid, uv, None, diso, diso)[0, 0])
+    assert abs(e_iso - 0.5) < 0.2
+
+
+def test_primary_hit_mipmap_reduces_aliasing():
+    """Full-pipeline check: screen-space uv differentials (SurfacePoint
+    differential analogue) reach the image sampler through the shader-node
+    chain and change the render vs raw bilinear."""
+    from libyafaray_tpu import make_integrator, film as F
+    from libyafaray_tpu.render import render
+    from scenes import cornell_builder
+
+    def build(interp):
+        b = cornell_builder()
+        cell = np.indices((64, 64)).sum(0) % 2
+        img = np.repeat(cell[..., None], 3, -1).astype(np.float32)
+        b.create_texture("check", {"type": "image", "interpolate": interp},
+                         image=img)
+        b.create_material("floor", {"type": "shinydiffusemat",
+                                    "color": (1, 1, 1),
+                                    "diffuse_shader": "d"},
+                          node_list=[{"element": "shader_node", "name": "d",
+                                      "type": "texture_mapper",
+                                      "texco": "uv", "texture": "check"}])
+        b.create_object("floor2")
+        b.set_current_material("floor")
+        i0 = b.add_vertex(0, 0, 0.001); i1 = b.add_vertex(1, 0, 0.001)
+        i2 = b.add_vertex(1, 1, 0.001); i3 = b.add_vertex(0, 1, 0.001)
+        u0 = b.add_uv(0, 0); u1 = b.add_uv(8, 0)
+        u2 = b.add_uv(8, 8); u3 = b.add_uv(0, 8)
+        b.add_quad(i0, i1, i2, i3, uv=(u0, u1, u2, u3))
+        b.cameras["cam"]["resx"] = 32
+        b.cameras["cam"]["resy"] = 32
+        return b.compile("cam")
+
+    cfg = make_integrator({"type": "directlighting"})
+    bi = np.asarray(F.resolve(render(build("bilinear"), cfg, spp=2),
+                              "combined"))
+    tri = np.asarray(F.resolve(render(build("mipmap_trilinear"), cfg, spp=2),
+                               "combined"))
+    assert np.abs(bi - tri).max() > 0.01, "mip path did not engage"
+    # filtered floor shows lower variance (less aliasing) at distance
+    assert tri[24:32, :, :3].var() < bi[24:32, :, :3].var()
+
+
+def test_volume_attenuation_grid_matches_direct_march():
+    """SingleScatter 'optimize' grid (integrator_single_scatter.cc:35-108):
+    the cached per-light attenuation lookup matches the direct march."""
+    from libyafaray_tpu import make_integrator, film as F
+    from libyafaray_tpu.render import render
+    from scenes import cornell_builder
+
+    def build():
+        b = cornell_builder(light_kind="point")
+        b.create_volume_region("fog", {
+            "type": "UniformVolume", "sigma_s": 0.6, "sigma_a": 0.1,
+            "minX": 0.1, "minY": 0.1, "minZ": 0.1,
+            "maxX": 0.9, "maxY": 0.9, "maxZ": 0.9})
+        b.cameras["cam"]["resx"] = 16
+        b.cameras["cam"]["resy"] = 16
+        return b.compile("cam")
+
+    direct = make_integrator({"type": "directlighting", "optimize": False})
+    cached = make_integrator({"type": "directlighting", "optimize": True})
+    i_d = np.asarray(F.resolve(render(build(), direct, spp=2), "combined"))
+    i_c = np.asarray(F.resolve(render(build(), cached, spp=2), "combined"))
+    assert np.isfinite(i_d).all() and np.isfinite(i_c).all()
+    # grid is an interpolated cache: close but not bit-equal
+    assert np.abs(i_d - i_c).max() < 0.05
+    assert np.abs(i_d - i_c).max() > 0.0  # actually took the cached path
