@@ -27,7 +27,7 @@ class SurfacePoint:
     nu: Array       # f32[N,3] shading-frame tangent
     nv: Array       # f32[N,3] shading-frame bitangent
     uv: Array       # f32[N,2] texture coords
-    orco: Array     # f32[N,3] object-space original coordinates (approx: p)
+    orco: Array     # f32[N,3] object-space original coordinates (p if none)
     dp_du: Array    # f32[N,3]
     dp_dv: Array    # f32[N,3]
     mat_id: Array   # i32[N]
@@ -79,6 +79,14 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
     n_smooth = vec.normalize(w[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2)
     smooth = g.face_smooth[tri]
     n_tri = jnp.where(smooth[:, None], n_smooth, ng_tri)
+    # orco: barycentric interpolation of streamed object-space coordinates
+    # (primitive_triangle.cc getSurface orco branch); p when none streamed
+    if g.orcos is not None:
+        orco = (w[:, None] * g.orcos[fidx[:, 0]]
+                + u[:, None] * g.orcos[fidx[:, 1]]
+                + v[:, None] * g.orcos[fidx[:, 2]])
+    else:
+        orco = p
     # texture uv interpolation
     fuv = g.face_uvs[tri]
     uv0 = g.uvs[fuv[:, 0]]
@@ -120,6 +128,7 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
         mat_id = jnp.where(is_tri, mat_tri, g.sph_mat[sph])
         obj_id = jnp.where(is_tri, obj_tri, g.sph_obj[sph])
         light_id = jnp.where(is_tri, light_tri, -1)
+        orco = jnp.where(is_tri[:, None], orco, p)
     else:
         ng, n, uv = ng_tri, n_tri, uv_tri
         dp_du, dp_dv = dp_du_t, dp_dv_t
@@ -130,7 +139,7 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
     nv = jnp.cross(n, nu)
 
     return SurfacePoint(
-        valid=hit.valid, p=p, n=n, ng=ng, nu=nu, nv=nv, uv=uv, orco=p,
+        valid=hit.valid, p=p, n=n, ng=ng, nu=nu, nv=nv, uv=uv, orco=orco,
         dp_du=dp_du, dp_dv=dp_dv,
         mat_id=jnp.where(hit.valid, mat_id, 0),
         obj_id=jnp.where(hit.valid, obj_id, 0),

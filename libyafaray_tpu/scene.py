@@ -64,6 +64,7 @@ class _MeshObject:
     obj_id: int
     vertices: List = field(default_factory=list)
     vertices_t1: List = field(default_factory=list)  # motion keyframe (t=1)
+    orcos: List = field(default_factory=list)  # streamed orco coordinates
     normals: List = field(default_factory=list)  # optional streamed normals
     uvs: List = field(default_factory=list)
     faces: List = field(default_factory=list)     # (a,b,c, uva,uvb,uvc, mat)
@@ -190,6 +191,12 @@ class SceneBuilder:
         self.current_object.vertices.append((x, y, z))
         return len(self.current_object.vertices) - 1
 
+    def add_vertex_with_orco(self, x, y, z, ox, oy, oz) -> int:
+        """Vertex plus object-space original coordinates (reference
+        yafaray_addVertexWithOrco; orco drives texco="orco" mapping)."""
+        self.current_object.orcos.append((ox, oy, oz))
+        return self.add_vertex(x, y, z)
+
     def add_normal(self, x, y, z) -> None:
         self.current_object.normals.append((x, y, z))
 
@@ -218,7 +225,7 @@ class SceneBuilder:
             self.add_triangle(a, c, d)
 
     def add_mesh_arrays(self, vertices, faces, uvs=None, face_uvs=None,
-                        normals=None, face_mats=None) -> None:
+                        normals=None, face_mats=None, orcos=None) -> None:
         """Bulk geometry path: attach whole arrays to the current object in
         one call (used by the native C API layer, which stages geometry in
         C++ buffers and hands them over zero-copy; replaces millions of
@@ -227,6 +234,10 @@ class SceneBuilder:
         vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         faces = np.asarray(faces, np.int32).reshape(-1, 3)
         obj.vertices.extend(map(tuple, vertices))
+        if orcos is not None:
+            obj.orcos.extend(map(tuple,
+                                 np.asarray(orcos, np.float32)
+                                 .reshape(-1, 3)))
         if normals is not None:
             obj.normals.extend(map(tuple,
                                    np.asarray(normals, np.float32)
@@ -243,6 +254,12 @@ class SceneBuilder:
         for f, u, m in zip(faces, fuv, fmat):
             obj.faces.append((int(f[0]), int(f[1]), int(f[2]),
                               int(u[0]), int(u[1]), int(u[2]), int(m)))
+
+    def add_mesh_time_step(self, vertices_t1) -> None:
+        """Bulk shutter-close (t=1) vertex positions for the current object
+        (motion blur; native C API yafaray_addVertexTimeStep fast path)."""
+        arr = np.asarray(vertices_t1, np.float32).reshape(-1, 3)
+        self.current_object.vertices_t1.extend(map(tuple, arr))
 
     def smooth_mesh(self, name: str = "", angle: float = 181.0) -> None:
         obj = self.objects[name] if name else self.current_object
@@ -459,6 +476,7 @@ class SceneBuilder:
         """Concatenate all meshes (+instances baked) into flat arrays."""
         all_v: List[np.ndarray] = []
         all_v1: List[np.ndarray] = []
+        all_orco: List[np.ndarray] = []
         all_n: List[np.ndarray] = []
         all_uv: List[np.ndarray] = [np.zeros((1, 2), np.float32)]
         all_f: List[np.ndarray] = []
@@ -497,6 +515,13 @@ class SceneBuilder:
                 v1_arr = np.asarray(obj.vertices_t1, np.float32).reshape(-1, 3)
             else:
                 v1_arr = v
+            # orco: streamed values, else the untransformed object-space
+            # positions (stays object-local under instancing, like the
+            # reference's per-mesh orco stream)
+            if obj.orcos and len(obj.orcos) == len(obj.vertices):
+                orco_arr = np.asarray(obj.orcos, np.float32).reshape(-1, 3)
+            else:
+                orco_arr = v.copy()
             if matrix is not None:
                 v = v @ matrix[:3, :3].T + matrix[:3, 3]
                 v1_arr = v1_arr @ matrix[:3, :3].T + matrix[:3, 3]
@@ -523,6 +548,7 @@ class SceneBuilder:
             start = f_count
             all_v.append(v)
             all_v1.append(v1_arr)
+            all_orco.append(orco_arr)
             all_n.append(n_arr)
             if uv.size:
                 all_uv.append(uv)
@@ -545,10 +571,13 @@ class SceneBuilder:
 
         has_motion = any(
             self.objects[n].vertices_t1 for n in self.object_order)
+        has_orco = any(self.objects[n].orcos for n in self.object_order)
         geom_np = dict(
             vertices=np.concatenate(all_v) if all_v else np.zeros((1, 3), np.float32),
             vertices_t1=(np.concatenate(all_v1) if (all_v1 and has_motion)
                          else None),
+            orcos=(np.concatenate(all_orco) if (all_orco and has_orco)
+                   else None),
             normals=np.concatenate(all_n) if all_n else np.zeros((1, 3), np.float32),
             uvs=np.concatenate(all_uv),
             faces=np.concatenate(all_f) if all_f else np.zeros((0, 3), np.int32),
@@ -573,10 +602,12 @@ class SceneBuilder:
 
     def _geometry_to_device(self, g) -> Geometry:
         v1 = g.pop("vertices_t1", None)
+        orco = g.pop("orcos", None)
         return Geometry(
             num_faces=int(len(g["faces"])), num_spheres=int(len(g["sph_radius"])),
             vertices_t1=(jnp.asarray(v1) if v1 is not None else None),
             has_motion=v1 is not None,
+            orcos=(jnp.asarray(orco) if orco is not None else None),
             **{k: jnp.asarray(v) for k, v in g.items()})
 
     # ------------------------------------------------------------------

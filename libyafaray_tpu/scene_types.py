@@ -98,6 +98,11 @@ class Geometry:
     # 3-point b-spline triangles, primitive_triangle_bspline.cc, done as a
     # 2-keyframe lerp). None when the scene is static.
     vertices_t1: Optional[Array] = None   # f32[V, 3]
+    # object-space "original coordinates" per vertex (reference
+    # addVertexWithOrco / SurfacePoint::orco, surface.h:54-150); None when no
+    # mesh streamed them — SurfacePoint then falls back to untransformed
+    # object-space positions baked in at compile.
+    orcos: Optional[Array] = None         # f32[V, 3]
     num_faces: int = struct.field(pytree_node=False, default=0)
     num_spheres: int = struct.field(pytree_node=False, default=0)
     has_motion: bool = struct.field(pytree_node=False, default=False)
