@@ -90,6 +90,14 @@ def intersect_sphere(o: Array, d: Array, center: Array, radius: Array,
     return hit, t
 
 
+PALLAS_MAX_TRIS = 16384  # above this the packed table leaves VMEM; use blocks
+
+
+def _pallas_ok(geom: Geometry) -> bool:
+    from ..accel.pallas_intersect import use_pallas
+    return use_pallas() and 0 < geom.num_faces <= PALLAS_MAX_TRIS
+
+
 def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
                    t_max: Array, exclude_prim: Optional[Array] = None,
                    shadow: bool = False,
@@ -101,7 +109,30 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
     best_uv = jnp.zeros((n, 2), jnp.float32)
     f = geom.num_faces
     motion = geom.has_motion and time is not None
-    if f > 0:
+    if f > 0 and _pallas_ok(geom):
+        # fused Pallas kernel: VMEM-resident triangle table, no HBM
+        # intermediates (accel/pallas_intersect.py)
+        from ..accel.pallas_intersect import mt_closest, pack_tris
+        v0, v1, v2 = _gather_tri_verts(geom)
+        tris = pack_tris(v0, v1, v2, geom.face_vis)
+        tris_t1 = None
+        tq = None
+        if motion:
+            vb = geom.vertices_t1
+            fc = geom.faces
+            tris_t1 = pack_tris(vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]],
+                                geom.face_vis)
+            tq = jnp.asarray(time, jnp.float32)
+        excl = (exclude_prim if exclude_prim is not None
+                else jnp.full((n,), -1, jnp.int32))
+        tmin_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+        bt, bp, bu, bv = mt_closest(tris, o, d, tmin_v, best_t,
+                                    excl, time=tq, tris_t1=tris_t1,
+                                    shadow=shadow)
+        best_t = jnp.where(bp >= 0, bt, best_t)
+        best_prim = bp
+        best_uv = jnp.stack([bu, bv], axis=-1)
+    elif f > 0:
         v0, v1, v2 = _gather_tri_verts(geom)
         if motion:
             vb = geom.vertices_t1
