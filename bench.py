@@ -10,9 +10,11 @@ mean w.r.t. all material diffuse albedos (fwd+bwd, the BASELINE.json
 metric). "Rays" counts camera rays (width*height*spp), the same accounting a
 renderer's "samples" use; path vertices per ray are bounces+1.
 
-The reference (libYafaRay) publishes no numbers (BASELINE.md), so
-vs_baseline is reported against a fixed nominal 1.0 until a measured
-reference baseline lands.
+The reference (libYafaRay) publishes no numbers (BASELINE.md), so the
+baseline is MEASURED: a C client against the reference library renders the
+same scene with the same integrator settings (BASELINE_MEASURED.json,
+350,724 rays/s forward-only on the host CPU); vs_baseline = ours / that.
+Note ours additionally includes the backward pass.
 
 Env overrides: BENCH_WIDTH, BENCH_HEIGHT, BENCH_SPP, BENCH_BOUNCES.
 """
@@ -101,12 +103,20 @@ def main():
     dt = time.time() - t0
 
     rays_per_sec = done_rays / dt
+    base = 1.0
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as fh:
+            base = float(json.load(fh)["baseline_rays_per_sec"])
+    except Exception:
+        pass
     print(json.dumps({
         "metric": f"camera rays/sec/chip fwd+bwd, cornell path tracing "
-                  f"{width}x{height} {bounces}b (of {spp}spp target)",
+                  f"{width}x{height} {bounces}b (of {spp}spp target); "
+                  "baseline = measured reference CPU fwd-only rays/s",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(rays_per_sec / base, 2),
     }))
 
 

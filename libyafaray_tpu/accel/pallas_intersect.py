@@ -23,8 +23,12 @@ Layout (all component-major so tiles are (8,128)-aligned f32):
 
 Grid: one program per RAY_TILE of rays; inner fori_loop over TRI_CHUNK
 slabs of the (VMEM-resident) triangle table. Intended for scenes whose
-triangle table fits VMEM (~<= 8k tris); larger scenes go through the block
-accelerator (accel/blocks.py), whose inner loop reuses this math per block.
+triangle table fits VMEM: the dispatch gate is PALLAS_MAX_TRIS = 16384 in
+ops/intersect.py (a 16k-row table is 1 MiB, 2 MiB with the motion-blur
+keyframe, plus ~15 live [TRI_CHUNK, RAY_TILE] f32 loop intermediates
+~= 4 MiB — comfortably inside the ~16 MiB VMEM budget). Larger scenes go
+through the block accelerator (accel/blocks.py), whose inner loop reuses
+this math per block.
 """
 from __future__ import annotations
 
@@ -35,13 +39,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 512      # rays per grid step (lanes: 4 x 128)
+RAY_TILE = 1024     # rays per grid step (8 x 128 lanes; also the XLA 1-D
+                    # f32 tile T(1024), required for the 1-D outputs)
 TRI_CHUNK = 128     # triangles per inner-loop slab (sublanes: 16 x 8)
 
 EPS_DET = 1e-10
 
 
-def _mt_kernel(rays_ref, tris_ref, out_ref, *, n_chunks: int,
+def _mt_kernel(rays_ref, tris_ref, t_ref, id_ref, u_ref, v_ref, *,
+               n_chunks: int, chunk: int,
                vis_col: int, motion: bool, tris_t1_ref=None):
     """One ray tile vs the whole triangle table."""
     ox = rays_ref[0:1, :]
@@ -56,15 +62,15 @@ def _mt_kernel(rays_ref, tris_ref, out_ref, *, n_chunks: int,
     if motion:
         tt = rays_ref[9:10, :]
 
-    def chunk(i, carry):
+    def chunk_body(i, carry):
         best_t, best_id, best_u, best_v = carry
-        base = i * TRI_CHUNK
-        tr = tris_ref[pl.ds(base, TRI_CHUNK), :]
+        base = i * chunk
+        tr = tris_ref[pl.ds(base, chunk), :]
 
         def col(j):
             c = tr[:, j:j + 1]                       # [C,1]
             if motion:
-                c1 = tris_t1_ref[pl.ds(base, TRI_CHUNK), j:j + 1]
+                c1 = tris_t1_ref[pl.ds(base, chunk), j:j + 1]
                 return c * (1.0 - tt) + c1 * tt      # [C,N] per-ray lerp
             return c
         ax, ay, az = col(0), col(1), col(2)
@@ -97,14 +103,17 @@ def _mt_kernel(rays_ref, tris_ref, out_ref, *, n_chunks: int,
         t = jnp.where(hit, t, jnp.inf)
         # row-reduce over the triangle axis
         tc = jnp.min(t, axis=0, keepdims=True)            # [1, N]
-        win = t <= tc                                      # ties: any winner
         better = tc < best_t
-        pick = win & better
-        best_id = jnp.where(better, jnp.max(jnp.where(pick, pid, -1.0),
-                                            axis=0, keepdims=True), best_id)
-        best_u = jnp.where(better, jnp.max(jnp.where(pick, u, -jnp.inf),
+        # On an exact t tie within a chunk pick ONE winner — the lowest prim
+        # id — and take u/v from that same triangle, matching the jnp scan
+        # oracle's argmin (first-index) tie-break (ADVICE r1).
+        win = t <= tc
+        cid = jnp.min(jnp.where(win, pid, jnp.inf), axis=0, keepdims=True)
+        sel = win & (pid == cid)
+        best_id = jnp.where(better, cid, best_id)
+        best_u = jnp.where(better, jnp.max(jnp.where(sel, u, -jnp.inf),
                                            axis=0, keepdims=True), best_u)
-        best_v = jnp.where(better, jnp.max(jnp.where(pick, v, -jnp.inf),
+        best_v = jnp.where(better, jnp.max(jnp.where(sel, v, -jnp.inf),
                                            axis=0, keepdims=True), best_v)
         best_t = jnp.where(better, tc, best_t)
         return best_t, best_id, best_u, best_v
@@ -112,18 +121,30 @@ def _mt_kernel(rays_ref, tris_ref, out_ref, *, n_chunks: int,
     init = (t_max, jnp.full_like(t_max, -1.0), jnp.zeros_like(t_max),
             jnp.zeros_like(t_max))
     best_t, best_id, best_u, best_v = jax.lax.fori_loop(
-        0, n_chunks, chunk, init)
-    out_ref[0:1, :] = best_t
-    out_ref[1:2, :] = best_id
-    out_ref[2:3, :] = best_u
-    out_ref[3:4, :] = best_v
-    out_ref[4:8, :] = jnp.zeros((4, best_t.shape[1]), jnp.float32)
+        0, n_chunks, chunk_body, init)
+    # four separate 1-D outputs: slicing [0:n] from a 1-D result is a cheap
+    # contiguous copy, whereas row-slicing a packed [8, npad] (8,128)-tiled
+    # output costs ~2x the whole kernel in XLA re-layout copies
+    t_ref[:] = best_t[0]
+    id_ref[:] = best_id[0]
+    u_ref[:] = best_u[0]
+    v_ref[:] = best_v[0]
 
 
-def pack_tris(v0, v1, v2, face_vis, *, pad_to: int = TRI_CHUNK):
+def table_rows(f: int) -> int:
+    """Padded row count for an f-triangle table: small scenes pad only to a
+    32-row slab (sublane-aligned) instead of a full 128-row chunk, so e.g. a
+    38-tri cornell tests 64 rows per ray instead of 128; big scenes use
+    128-row chunks for the fori_loop."""
+    if f <= TRI_CHUNK:
+        return max(32, -(-f // 32) * 32)
+    return -(-f // TRI_CHUNK) * TRI_CHUNK
+
+
+def pack_tris(v0, v1, v2, face_vis):
     """Build the f32[Cpad, 16] triangle table (done once at scene compile)."""
     f = v0.shape[0]
-    c = max(TRI_CHUNK, -(-f // pad_to) * pad_to)
+    c = table_rows(f)
     tab = jnp.zeros((c, 16), jnp.float32)
     tab = tab.at[:f, 0:3].set(v0)
     tab = tab.at[:f, 3:6].set(v1)
@@ -146,6 +167,12 @@ def mt_closest(tris, o, d, t_min, t_max, exclude, time=None,
     """
     n = o.shape[0]
     c = tris.shape[0]
+    chunk = c if c <= TRI_CHUNK else TRI_CHUNK
+    if c % chunk != 0 or c % 32 != 0:
+        raise ValueError(
+            f"triangle table rows ({c}) must be a multiple of 32 and, above "
+            f"{TRI_CHUNK}, of TRI_CHUNK ({TRI_CHUNK}); "
+            "use pack_tris to build the table")
     npad = -(-n // RAY_TILE) * RAY_TILE
     rays = jnp.zeros((16, npad), jnp.float32)
     rays = rays.at[0:3, :n].set(o.T)
@@ -159,10 +186,10 @@ def mt_closest(tris, o, d, t_min, t_max, exclude, time=None,
         rays = rays.at[9, :n].set(time)
 
     kernel = functools.partial(
-        _mt_kernel, n_chunks=c // TRI_CHUNK,
+        _mt_kernel, n_chunks=c // chunk, chunk=chunk,
         vis_col=10 if shadow else 9, motion=motion)
     if motion:
-        body = lambda r, t0, t1, out: kernel(r, t0, out, tris_t1_ref=t1)
+        body = lambda r, t0, t1, *outs: kernel(r, t0, *outs, tris_t1_ref=t1)
         in_specs = [
             pl.BlockSpec((16, RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -171,30 +198,76 @@ def mt_closest(tris, o, d, t_min, t_max, exclude, time=None,
         ]
         args = (rays, tris, tris_t1)
     else:
-        body = lambda r, t0, out: kernel(r, t0, out)
+        body = lambda r, t0, *outs: kernel(r, t0, *outs)
         in_specs = [
             pl.BlockSpec((16, RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         args = (rays, tris)
-    out = pl.pallas_call(
+    vec_spec = pl.BlockSpec((RAY_TILE,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    vec_shape = jax.ShapeDtypeStruct((npad,), jnp.float32)
+    out_t, out_id, out_u, out_v = pl.pallas_call(
         body,
         grid=(npad // RAY_TILE,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        out_specs=(vec_spec, vec_spec, vec_spec, vec_spec),
+        out_shape=(vec_shape, vec_shape, vec_shape, vec_shape),
         cost_estimate=pl.CostEstimate(
-            flops=45 * npad * c, bytes_accessed=(16 + 8) * 4 * npad,
+            flops=45 * npad * c, bytes_accessed=(16 + 4 * 4) * 4 * npad,
             transcendentals=0),
         interpret=interpret,
     )(*args)
-    best_t = out[0, :n]
-    prim = out[1, :n].astype(jnp.int32)
-    return best_t, prim, out[2, :n], out[3, :n]
+    return out_t[:n], out_id[:n].astype(jnp.int32), out_u[:n], out_v[:n]
+
+
+_PALLAS_STATUS: bool | None = None
+
+
+def _probe() -> bool:
+    """Compile + run a one-tile query on the live backend and check the
+    result. Any compile/runtime failure or wrong answer disables the kernel
+    for the process, so a Mosaic miscompile degrades to the jnp scan path
+    instead of crashing or silently corrupting renders (ADVICE r1, medium)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        import numpy as np
+        v0 = jnp.asarray([[0.0, -1.0, -1.0]], jnp.float32)
+        v1 = jnp.asarray([[0.0, 1.0, -1.0]], jnp.float32)
+        v2 = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        tris = pack_tris(v0, v1, v2, jnp.asarray([3], jnp.int32))
+        o = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        t, p, _, _ = mt_closest(tris, o, d,
+                                jnp.asarray([1e-4], jnp.float32),
+                                jnp.asarray([1e9], jnp.float32),
+                                jnp.asarray([-1], jnp.int32))
+        t0, p0 = float(np.asarray(t)[0]), int(np.asarray(p)[0])
+        if not (abs(t0 - 1.0) < 1e-4 and p0 == 0):
+            raise RuntimeError(f"probe mismatch: t={t0} prim={p0}")
+        return True
+    except Exception as exc:  # pragma: no cover - depends on hw/toolchain
+        import warnings
+        warnings.warn("pallas intersect kernel disabled, falling back to the "
+                      f"jnp scan path (probe failed: {exc})")
+        return False
 
 
 def use_pallas() -> bool:
-    import jax
-    return jax.default_backend() == "tpu"
+    """True when the compiled Pallas kernel should carry intersections.
+    Memoized runtime probe rather than a bare backend check. The probe is
+    usually reached while TRACING the caller's jit; JAX trace contexts are
+    thread-local, so running it in a worker thread executes it eagerly on
+    the real device instead of entangling it with the outer trace."""
+    global _PALLAS_STATUS
+    if _PALLAS_STATUS is None:
+        import threading
+        result = []
+        th = threading.Thread(target=lambda: result.append(_probe()))
+        th.start()
+        th.join()
+        _PALLAS_STATUS = bool(result and result[0])
+    return _PALLAS_STATUS

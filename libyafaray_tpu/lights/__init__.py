@@ -78,6 +78,12 @@ def _ies_factor(lt: LightTable, li: Array, cos_a: Array) -> Array:
     return jnp.where(has, v, jnp.ones_like(cos_a))
 
 
+def _has(lt: LightTable, ty: int) -> bool:
+    """Trace-time presence check: light families absent from the scene are
+    never traced (present_types is a static field; empty = unknown)."""
+    return (not lt.present_types) or (ty in lt.present_types)
+
+
 def sample_light(scene: SceneData, li: Array, p: Array, ns: Array,
                  u1: Array, u2: Array) -> LightSample:
     """Light::illumSample for a per-lane light index `li` at shading points
@@ -102,89 +108,96 @@ def sample_light(scene: SceneData, li: Array, p: Array, ns: Array,
     valid = jnp.ones((n,), bool)
 
     # ---- point (light_point.cc) + IES ----
-    m = ty == LIGHT_POINT
-    rad_p = col / d2[..., None]
-    wi = jnp.where(m[..., None], wi_pt, wi)
-    dist = jnp.where(m, dist_pt, dist)
-    rad = jnp.where(m[..., None], rad_p, rad)
-    dirac = dirac | m
+    if _has(lt, LIGHT_POINT):
+        m = ty == LIGHT_POINT
+        rad_p = col / d2[..., None]
+        wi = jnp.where(m[..., None], wi_pt, wi)
+        dist = jnp.where(m, dist_pt, dist)
+        rad = jnp.where(m[..., None], rad_p, rad)
+        dirac = dirac | m
 
     # ---- IES (dirac with profile factor around axis) ----
-    m = ty == LIGHT_IES
-    cos_ax = vec.dot(-wi_pt, ldir)
-    ies_f = _ies_factor(lt, li, cos_ax)
-    rad_i = col * (ies_f / d2)[..., None]
-    wi = jnp.where(m[..., None], wi_pt, wi)
-    dist = jnp.where(m, dist_pt, dist)
-    rad = jnp.where(m[..., None], rad_i, rad)
-    dirac = dirac | m
+    if _has(lt, LIGHT_IES):
+        m = ty == LIGHT_IES
+        cos_ax = vec.dot(-wi_pt, ldir)
+        ies_f = _ies_factor(lt, li, cos_ax)
+        rad_i = col * (ies_f / d2)[..., None]
+        wi = jnp.where(m[..., None], wi_pt, wi)
+        dist = jnp.where(m, dist_pt, dist)
+        rad = jnp.where(m[..., None], rad_i, rad)
+        dirac = dirac | m
 
     # ---- spot (light_spot.cc) ----
-    m = ty == LIGHT_SPOT
-    cos_a = vec.dot(-wi_pt, ldir)
-    fall = _spot_falloff(cos_a, lt.cos_start[li], lt.cos_end[li], lt.falloff[li])
-    rad_s = col * (fall / d2)[..., None]
-    wi = jnp.where(m[..., None], wi_pt, wi)
-    dist = jnp.where(m, dist_pt, dist)
-    rad = jnp.where(m[..., None], rad_s, rad)
-    dirac = dirac | m
-    valid = valid & jnp.where(m, fall > 0.0, True)
+    if _has(lt, LIGHT_SPOT):
+        m = ty == LIGHT_SPOT
+        cos_a = vec.dot(-wi_pt, ldir)
+        fall = _spot_falloff(cos_a, lt.cos_start[li], lt.cos_end[li], lt.falloff[li])
+        rad_s = col * (fall / d2)[..., None]
+        wi = jnp.where(m[..., None], wi_pt, wi)
+        dist = jnp.where(m, dist_pt, dist)
+        rad = jnp.where(m[..., None], rad_s, rad)
+        dirac = dirac | m
+        valid = valid & jnp.where(m, fall > 0.0, True)
 
     # ---- directional (light_directional.cc) ----
-    m = ty == LIGHT_DIRECTIONAL
-    wi = jnp.where(m[..., None], -ldir, wi)
-    rad = jnp.where(m[..., None], col, rad)
-    dirac = dirac | m
+    if _has(lt, LIGHT_DIRECTIONAL):
+        m = ty == LIGHT_DIRECTIONAL
+        wi = jnp.where(m[..., None], -ldir, wi)
+        rad = jnp.where(m[..., None], col, rad)
+        dirac = dirac | m
 
     # ---- sun: cone around -direction (light_sun.cc) ----
-    m = ty == LIGHT_SUN
-    cos_max = lt.cos_start[li]
-    u_ax, v_ax = vec.orthonormal_basis(-ldir)
-    cone = vec.uniform_sample_cone(u1, u2, cos_max)
-    wi_sun = (u_ax * cone[..., 0:1] + v_ax * cone[..., 1:2]
-              + (-ldir) * cone[..., 2:3])
-    pdf_sun = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
-    wi = jnp.where(m[..., None], wi_sun, wi)
-    pdf = jnp.where(m, pdf_sun, pdf)
-    rad = jnp.where(m[..., None], col, rad)
+    if _has(lt, LIGHT_SUN):
+        m = ty == LIGHT_SUN
+        cos_max = lt.cos_start[li]
+        u_ax, v_ax = vec.orthonormal_basis(-ldir)
+        cone = vec.uniform_sample_cone(u1, u2, cos_max)
+        wi_sun = (u_ax * cone[..., 0:1] + v_ax * cone[..., 1:2]
+                  + (-ldir) * cone[..., 2:3])
+        pdf_sun = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+        wi = jnp.where(m[..., None], wi_sun, wi)
+        pdf = jnp.where(m, pdf_sun, pdf)
+        rad = jnp.where(m[..., None], col, rad)
 
     # ---- area light: parallelogram corner+e1+e2 (light_area.cc) ----
-    m = ty == LIGHT_AREA
-    lp = pos + lt.edge1[li] * u1[..., None] + lt.edge2[li] * u2[..., None]
-    to_a = lp - p
-    d2a = jnp.maximum(vec.dot(to_a, to_a), 1e-12)
-    dist_a = jnp.sqrt(d2a)
-    wi_a = to_a / dist_a[..., None]
-    cos_l = vec.dot(-wi_a, ldir)
-    dbl = (lt.flags[li] & FLAG_DOUBLE_SIDED) != 0
-    cos_l_eff = jnp.where(dbl, jnp.abs(cos_l), cos_l)
-    pdf_a = d2a / jnp.maximum(lt.area[li] * jnp.maximum(cos_l_eff, 1e-9), 1e-12)
-    ok_a = cos_l_eff > 1e-6
-    wi = jnp.where(m[..., None], wi_a, wi)
-    dist = jnp.where(m, dist_a, dist)
-    pdf = jnp.where(m, pdf_a, pdf)
-    rad = jnp.where(m[..., None], col, rad)
-    valid = valid & jnp.where(m, ok_a, True)
+    if _has(lt, LIGHT_AREA):
+        m = ty == LIGHT_AREA
+        lp = pos + lt.edge1[li] * u1[..., None] + lt.edge2[li] * u2[..., None]
+        to_a = lp - p
+        d2a = jnp.maximum(vec.dot(to_a, to_a), 1e-12)
+        dist_a = jnp.sqrt(d2a)
+        wi_a = to_a / dist_a[..., None]
+        cos_l = vec.dot(-wi_a, ldir)
+        dbl = (lt.flags[li] & FLAG_DOUBLE_SIDED) != 0
+        cos_l_eff = jnp.where(dbl, jnp.abs(cos_l), cos_l)
+        pdf_a = d2a / jnp.maximum(lt.area[li] * jnp.maximum(cos_l_eff, 1e-9), 1e-12)
+        ok_a = cos_l_eff > 1e-6
+        wi = jnp.where(m[..., None], wi_a, wi)
+        dist = jnp.where(m, dist_a, dist)
+        pdf = jnp.where(m, pdf_a, pdf)
+        rad = jnp.where(m[..., None], col, rad)
+        valid = valid & jnp.where(m, ok_a, True)
 
     # ---- sphere light: solid-angle cone sampling (light_sphere.cc) ----
-    m = ty == LIGHT_SPHERE
-    r = lt.radius[li]
-    sin2_max = jnp.clip(r * r / d2, 0.0, 1.0)
-    cos_max_s = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
-    u_s, v_s = vec.orthonormal_basis(wi_pt)
-    cone_s = vec.uniform_sample_cone(u1, u2, cos_max_s)
-    wi_s = (u_s * cone_s[..., 0:1] + v_s * cone_s[..., 1:2]
-            + wi_pt * cone_s[..., 2:3])
-    pdf_s = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max_s), 1e-9)
-    inside = d2 <= r * r
-    wi = jnp.where(m[..., None], wi_s, wi)
-    dist = jnp.where(m, dist_pt, dist)  # approx: center distance for shadow ray
-    pdf = jnp.where(m, pdf_s, pdf)
-    rad = jnp.where(m[..., None], col, rad)
-    valid = valid & jnp.where(m, ~inside, True)
+    if _has(lt, LIGHT_SPHERE):
+        m = ty == LIGHT_SPHERE
+        r = lt.radius[li]
+        sin2_max = jnp.clip(r * r / d2, 0.0, 1.0)
+        cos_max_s = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+        u_s, v_s = vec.orthonormal_basis(wi_pt)
+        cone_s = vec.uniform_sample_cone(u1, u2, cos_max_s)
+        wi_s = (u_s * cone_s[..., 0:1] + v_s * cone_s[..., 1:2]
+                + wi_pt * cone_s[..., 2:3])
+        pdf_s = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max_s), 1e-9)
+        inside = d2 <= r * r
+        wi = jnp.where(m[..., None], wi_s, wi)
+        dist = jnp.where(m, dist_pt, dist)  # approx: center distance for shadow ray
+        pdf = jnp.where(m, pdf_s, pdf)
+        rad = jnp.where(m[..., None], col, rad)
+        valid = valid & jnp.where(m, ~inside, True)
 
     # ---- mesh light: uniform triangle pick (light_object_light.cc) ----
-    if scene.geom.num_faces > 0:
+    if scene.geom.num_faces > 0 and _has(lt, LIGHT_MESH):
         m = ty == LIGHT_MESH
         cnt = jnp.maximum(lt.tri_count[li], 1)
         tri_i = lt.tri_start[li] + jnp.clip(
@@ -252,23 +265,26 @@ def light_pdf_hit(scene: SceneData, light_id: Array, p_hit: Array, n_hit: Array,
     cos_l = jnp.abs(vec.dot(-wi, n_hit))
     pdf = jnp.zeros(p_from.shape[:-1], jnp.float32)
 
-    m = ty == LIGHT_AREA
-    pdf = jnp.where(m, d2 / jnp.maximum(lt.area[light_id]
-                                        * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
-    m = ty == LIGHT_MESH
-    # uniform-triangle pdf needs the specific triangle's area; approximate
-    # with total light area (exact when triangles are equal-area). Stored
-    # lt.area for mesh lights = sum of tri areas; pdf_area = 1/area_total.
-    pdf = jnp.where(m, d2 / jnp.maximum(lt.area[light_id]
-                                        * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
-    m = ty == LIGHT_SPHERE
-    c = lt.position[light_id]
-    r = lt.radius[light_id]
-    dc2 = jnp.maximum(vec.length_sq(c - p_from), 1e-12)
-    sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
-    pdf = jnp.where(m, 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9),
-                    pdf)
+    if _has(lt, LIGHT_AREA):
+        m = ty == LIGHT_AREA
+        pdf = jnp.where(m, d2 / jnp.maximum(
+            lt.area[light_id] * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
+    if _has(lt, LIGHT_MESH):
+        m = ty == LIGHT_MESH
+        # uniform-triangle pdf needs the specific triangle's area; approximate
+        # with total light area (exact when triangles are equal-area). Stored
+        # lt.area for mesh lights = sum of tri areas; pdf_area = 1/area_total.
+        pdf = jnp.where(m, d2 / jnp.maximum(
+            lt.area[light_id] * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
+    if _has(lt, LIGHT_SPHERE):
+        m = ty == LIGHT_SPHERE
+        c = lt.position[light_id]
+        r = lt.radius[light_id]
+        dc2 = jnp.maximum(vec.length_sq(c - p_from), 1e-12)
+        sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+        pdf = jnp.where(m, 1.0 / jnp.maximum(
+            2.0 * jnp.pi * (1.0 - cos_max), 1e-9), pdf)
     return pdf
 
 

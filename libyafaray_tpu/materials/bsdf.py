@@ -69,10 +69,23 @@ class MP:
     mat_flags: Array
     sigma: Array
     blend_value: Array
+    # static trace-time hints copied from the MaterialTable (see
+    # scene_types.py): which material families exist, whether any row uses
+    # Oren-Nayar / anisotropic microfacets / fresnel weighting. Lobe math
+    # for absent families is not traced at all.
+    present: tuple = struct.field(pytree_node=False, default=())
+    has_oren: bool = struct.field(pytree_node=False, default=True)
+    has_aniso: bool = struct.field(pytree_node=False, default=True)
+    has_fresnel: bool = struct.field(pytree_node=False, default=True)
+
+    def has(self, ty: int) -> bool:
+        return (not self.present) or (ty in self.present)
 
 
 def gather_mp(mats: MaterialTable, mat_id: Array) -> MP:
     return MP(
+        present=mats.present_types, has_oren=mats.has_oren,
+        has_aniso=mats.has_aniso, has_fresnel=mats.has_fresnel,
         mat_type=mats.mat_type[mat_id],
         diffuse_color=mats.diffuse_color[mat_id],
         glossy_color=mats.glossy_color[mat_id],
@@ -107,8 +120,9 @@ def lobe_weights(mp: MP, cos_wo: Array):
     (material_shiny_diffuse.cc `accumulate`) and each material's own split."""
     ty = mp.mat_type
     # dielectric fresnel at normal-ish incidence for fresnel-weighted mirror
-    kr_ior = vec.fresnel_dielectric(cos_wo, mp.ior)
-    use_fresnel = _flag(mp.mat_flags, FLAG_FRESNEL)
+    need_kr = (mp.has_fresnel or mp.has(MAT_COATED_GLOSSY)
+               or mp.has(MAT_GLASS))
+    kr_ior = vec.fresnel_dielectric(cos_wo, mp.ior) if need_kr else None
 
     w_dr = jnp.zeros_like(cos_wo)   # delta reflect
     w_dt = jnp.zeros_like(cos_wo)   # delta transmit
@@ -116,44 +130,52 @@ def lobe_weights(mp: MP, cos_wo: Array):
     w_di = jnp.zeros_like(cos_wo)   # diffuse reflect
     w_tl = jnp.zeros_like(cos_wo)   # diffuse transmit
 
-    # SHINY_DIFFUSE
-    m = mp.specular_refl * jnp.where(use_fresnel, kr_ior, 1.0)
-    acc = 1.0 - m
-    t = mp.transparency * acc
-    acc = acc * (1.0 - mp.transparency)
-    tl = mp.translucency * acc
-    acc = acc * (1.0 - mp.translucency)
-    di = mp.diffuse_reflect * acc
-    is_sd = ty == MAT_SHINY_DIFFUSE
-    w_dr = jnp.where(is_sd, m, w_dr)
-    w_dt = jnp.where(is_sd, t, w_dt)
-    w_tl = jnp.where(is_sd, tl, w_tl)
-    w_di = jnp.where(is_sd, di, w_di)
+    if mp.has(MAT_SHINY_DIFFUSE):
+        if mp.has_fresnel:
+            use_fresnel = _flag(mp.mat_flags, FLAG_FRESNEL)
+            m = mp.specular_refl * jnp.where(use_fresnel, kr_ior, 1.0)
+        else:
+            m = mp.specular_refl
+        acc = 1.0 - m
+        t = mp.transparency * acc
+        acc = acc * (1.0 - mp.transparency)
+        tl = mp.translucency * acc
+        acc = acc * (1.0 - mp.translucency)
+        di = mp.diffuse_reflect * acc
+        is_sd = ty == MAT_SHINY_DIFFUSE
+        w_dr = jnp.where(is_sd, m, w_dr)
+        w_dt = jnp.where(is_sd, t, w_dt)
+        w_tl = jnp.where(is_sd, tl, w_tl)
+        w_di = jnp.where(is_sd, di, w_di)
 
-    # GLOSSY: glossy + diffuse
-    is_gl = ty == MAT_GLOSSY
-    w_mf = jnp.where(is_gl, mp.glossy_reflect, w_mf)
-    w_di = jnp.where(is_gl, mp.diffuse_reflect * (1.0 - mp.glossy_reflect), w_di)
+    if mp.has(MAT_GLOSSY):
+        is_gl = ty == MAT_GLOSSY
+        w_mf = jnp.where(is_gl, mp.glossy_reflect, w_mf)
+        w_di = jnp.where(is_gl, mp.diffuse_reflect * (1.0 - mp.glossy_reflect),
+                         w_di)
 
-    # COATED_GLOSSY: delta coat by dielectric fresnel + glossy + diffuse
-    is_cg = ty == MAT_COATED_GLOSSY
-    w_dr = jnp.where(is_cg, kr_ior, w_dr)
-    w_mf = jnp.where(is_cg, (1.0 - kr_ior) * mp.glossy_reflect, w_mf)
-    w_di = jnp.where(is_cg, (1.0 - kr_ior) * mp.diffuse_reflect
-                     * (1.0 - mp.glossy_reflect), w_di)
+    if mp.has(MAT_COATED_GLOSSY):
+        # delta coat by dielectric fresnel + glossy + diffuse
+        is_cg = ty == MAT_COATED_GLOSSY
+        w_dr = jnp.where(is_cg, kr_ior, w_dr)
+        w_mf = jnp.where(is_cg, (1.0 - kr_ior) * mp.glossy_reflect, w_mf)
+        w_di = jnp.where(is_cg, (1.0 - kr_ior) * mp.diffuse_reflect
+                         * (1.0 - mp.glossy_reflect), w_di)
 
-    # GLASS: fresnel split between delta reflect / delta transmit
-    is_gs = ty == MAT_GLASS
-    w_dr = jnp.where(is_gs, kr_ior, w_dr)
-    w_dt = jnp.where(is_gs, 1.0 - kr_ior, w_dt)
+    if mp.has(MAT_GLASS):
+        # fresnel split between delta reflect / delta transmit
+        is_gs = ty == MAT_GLASS
+        w_dr = jnp.where(is_gs, kr_ior, w_dr)
+        w_dt = jnp.where(is_gs, 1.0 - kr_ior, w_dt)
 
-    # ROUGH_GLASS: single microfacet lobe (reflect/refract inside)
-    is_rg = ty == MAT_ROUGH_GLASS
-    w_mf = jnp.where(is_rg, 1.0, w_mf)
+    if mp.has(MAT_ROUGH_GLASS):
+        # single microfacet lobe (reflect/refract inside)
+        is_rg = ty == MAT_ROUGH_GLASS
+        w_mf = jnp.where(is_rg, 1.0, w_mf)
 
-    # MIRROR
-    is_mi = ty == MAT_MIRROR
-    w_dr = jnp.where(is_mi, mp.specular_refl, w_dr)
+    if mp.has(MAT_MIRROR):
+        is_mi = ty == MAT_MIRROR
+        w_dr = jnp.where(is_mi, mp.specular_refl, w_dr)
 
     # NULL / LIGHT: no scattering
     return w_dr, w_dt, w_mf, w_di, w_tl
@@ -258,7 +280,11 @@ def _eval_single(mp: MP, wo_l: Array, wi_l: Array):
     inv_pi = 1.0 / jnp.pi
 
     # diffuse reflect
-    on = jnp.where(mp.sigma > 0.0, _oren_nayar_factor(mp.sigma, wo_l, wi_l), 1.0)
+    if mp.has_oren:
+        on = jnp.where(mp.sigma > 0.0,
+                       _oren_nayar_factor(mp.sigma, wo_l, wi_l), 1.0)
+    else:
+        on = 1.0
     f_di = (w_di * on * inv_pi)[..., None] * mp.diffuse_color
     f_di = jnp.where(same_hemi[..., None], f_di, 0.0)
     pdf_di = jnp.where(same_hemi, cos_wi * inv_pi, 0.0)
@@ -268,13 +294,23 @@ def _eval_single(mp: MP, wo_l: Array, wi_l: Array):
     f_tl = jnp.where(same_hemi[..., None], 0.0, f_tl)
     pdf_tl = jnp.where(same_hemi, 0.0, cos_wi * inv_pi)
 
-    # microfacet
+    # microfacet — trace only the families present in the scene
     ty = mp.mat_type
-    is_rg = ty == MAT_ROUGH_GLASS
-    f_gl, pdf_gl = _glossy_f(mp, wo_l, wi_l)
-    f_rg, pdf_rg = _rough_glass_f(mp, wo_l, wi_l)
-    f_mf = jnp.where(is_rg[..., None], f_rg, f_gl)
-    pdf_mf = jnp.where(is_rg, pdf_rg, pdf_gl)
+    has_gl = mp.has(MAT_GLOSSY) or mp.has(MAT_COATED_GLOSSY)
+    has_rg = mp.has(MAT_ROUGH_GLASS)
+    if has_gl and has_rg:
+        is_rg = ty == MAT_ROUGH_GLASS
+        f_gl, pdf_gl = _glossy_f(mp, wo_l, wi_l)
+        f_rg, pdf_rg = _rough_glass_f(mp, wo_l, wi_l)
+        f_mf = jnp.where(is_rg[..., None], f_rg, f_gl)
+        pdf_mf = jnp.where(is_rg, pdf_rg, pdf_gl)
+    elif has_rg:
+        f_mf, pdf_mf = _rough_glass_f(mp, wo_l, wi_l)
+    elif has_gl:
+        f_mf, pdf_mf = _glossy_f(mp, wo_l, wi_l)
+    else:
+        f_mf = jnp.zeros_like(mp.diffuse_color)
+        pdf_mf = jnp.zeros_like(cos_wi)
     # coated glossy: scale glossy lobe by (1 - coat fresnel) is already in w_mf
     f_mf = w_mf[..., None] * f_mf
 
@@ -342,51 +378,82 @@ def _sample_single(mp: MP, sp, wo_l: Array, u1: Array, u2: Array, u3: Array
     sgn_wo = jnp.sign(wo_l[..., 2:3])
     sgn_wo = jnp.where(sgn_wo == 0, 1.0, sgn_wo)
 
+    has_glass = mp.has(MAT_GLASS)
+    has_rg = mp.has(MAT_ROUGH_GLASS)
+    has_gl = mp.has(MAT_GLOSSY) or mp.has(MAT_COATED_GLOSSY)
+    has_delta_t = has_glass or mp.has(MAT_SHINY_DIFFUSE) or mp.has(MAT_NULL)
+
     # ---- delta reflect: mirror about local z
     wi_dr = jnp.stack([-wo_l[..., 0], -wo_l[..., 1], wo_l[..., 2]], axis=-1)
-    col_dr = jnp.where((ty == MAT_GLASS)[..., None], mp.mirror_color,
-                       mp.mirror_color)
-    # shiny-diffuse mirror uses mirror_color; coated coat is white-ish mirror
-    col_dr = jnp.where((ty == MAT_COATED_GLOSSY)[..., None],
-                       mp.mirror_color, col_dr)
+    col_dr = mp.mirror_color
+
+    eta_rel = (jnp.where(wo_l[..., 2] > 0, mp.ior, 1.0 / mp.ior)
+               if (has_glass or has_rg) else None)
 
     # ---- delta transmit
-    # glass refract through local normal; shinydiffuse passes straight through
-    n_l = jnp.concatenate([jnp.zeros_like(wo_l[..., :2]), sgn_wo], axis=-1)
-    eta_rel = jnp.where(wo_l[..., 2] > 0, mp.ior, 1.0 / mp.ior)
-    wt, tir = vec.refract(wo_l, n_l, eta_rel)
-    is_glass = ty == MAT_GLASS
-    wi_dt = jnp.where(is_glass[..., None], wt, -wo_l)
-    # TIR: glass transmit lobe flips to reflection
-    wi_dt = jnp.where((is_glass & tir)[..., None], wi_dr, wi_dt)
-    # glass transmits its filter color; shiny-diffuse transparency passes
-    # straight through unfiltered (the filter applies to shadow rays via
-    # `transparency()` below, as in material_shiny_diffuse.cc)
-    col_dt = jnp.where(is_glass[..., None], mp.filter_color,
-                       jnp.ones_like(mp.filter_color))
-    col_dt = jnp.where((is_glass & tir)[..., None], mp.mirror_color, col_dt)
+    if has_delta_t:
+        # glass refract through local normal; shinydiffuse passes straight
+        # through
+        if has_glass:
+            n_l = jnp.concatenate([jnp.zeros_like(wo_l[..., :2]), sgn_wo],
+                                  axis=-1)
+            wt, tir = vec.refract(wo_l, n_l, eta_rel)
+            is_glass = ty == MAT_GLASS
+            wi_dt = jnp.where(is_glass[..., None], wt, -wo_l)
+            # TIR: glass transmit lobe flips to reflection
+            wi_dt = jnp.where((is_glass & tir)[..., None], wi_dr, wi_dt)
+            # glass transmits its filter color; shiny-diffuse transparency
+            # passes straight through unfiltered (the filter applies to shadow
+            # rays via `transparency()` below, material_shiny_diffuse.cc)
+            col_dt = jnp.where(is_glass[..., None], mp.filter_color,
+                               jnp.ones_like(mp.filter_color))
+            col_dt = jnp.where((is_glass & tir)[..., None], mp.mirror_color,
+                               col_dt)
+        else:
+            wi_dt = -wo_l
+            col_dt = jnp.ones_like(mp.filter_color)
+    else:
+        wi_dt = -wo_l
+        col_dt = jnp.ones_like(mp.filter_color)
 
-    # ---- microfacet lobe
-    aniso = _flag(mp.mat_flags, FLAG_ANISOTROPIC)
-    is_rg = ty == MAT_ROUGH_GLASS
-    h_blinn = mf.blinn_sample_h(u1, u2, mp.exponent)
-    h_aniso = mf.as_aniso_sample_h(u1, u2, mp.exp_u, mp.exp_v)
-    h_ggx = mf.ggx_sample_h(u1, u2, mp.alpha)
-    h = jnp.where(is_rg[..., None], h_ggx,
-                  jnp.where(aniso[..., None], h_aniso, h_blinn))
-    h = h * sgn_wo  # half-vector on wo's side
-    cos_wo_h = vec.dot(wo_l, h)
-    wi_refl = vec.normalize(2.0 * cos_wo_h[..., None] * h - wo_l)
-    # rough glass: choose reflect/refract at the microfacet by fresnel(u3 reuse
-    # is biased; derive a fresh uniform from u1,u2 via hashing-free trick)
-    fres_h = vec.fresnel_dielectric(cos_wo_h, eta_rel)
-    # low-cost extra uniform decorrelated from (u1,u2)
-    u4 = (u1 * 7919.0 + u2 * 104729.0) % 1.0
-    wt_h, tir_h = vec.refract(wo_l, h, eta_rel)
-    choose_refl = (u4 < fres_h) | tir_h
-    wi_mf = jnp.where(is_rg[..., None],
-                      jnp.where(choose_refl[..., None], wi_refl, wt_h),
-                      wi_refl)
+    # ---- microfacet lobe (trace only the present families)
+    if has_gl or has_rg:
+        if has_gl:
+            if mp.has_aniso:
+                aniso = _flag(mp.mat_flags, FLAG_ANISOTROPIC)
+                h_gl = jnp.where(aniso[..., None],
+                                 mf.as_aniso_sample_h(u1, u2, mp.exp_u,
+                                                      mp.exp_v),
+                                 mf.blinn_sample_h(u1, u2, mp.exponent))
+            else:
+                h_gl = mf.blinn_sample_h(u1, u2, mp.exponent)
+        if has_rg:
+            h_ggx = mf.ggx_sample_h(u1, u2, mp.alpha)
+        if has_gl and has_rg:
+            is_rg = ty == MAT_ROUGH_GLASS
+            h = jnp.where(is_rg[..., None], h_ggx, h_gl)
+        elif has_rg:
+            h = h_ggx
+        else:
+            h = h_gl
+        h = h * sgn_wo  # half-vector on wo's side
+        cos_wo_h = vec.dot(wo_l, h)
+        wi_refl = vec.normalize(2.0 * cos_wo_h[..., None] * h - wo_l)
+        if has_rg:
+            # rough glass: choose reflect/refract at the microfacet by
+            # fresnel (u3 reuse is biased; derive a fresh uniform from u1,u2)
+            fres_h = vec.fresnel_dielectric(cos_wo_h, eta_rel)
+            u4 = (u1 * 7919.0 + u2 * 104729.0) % 1.0
+            wt_h, tir_h = vec.refract(wo_l, h, eta_rel)
+            choose_refl = (u4 < fres_h) | tir_h
+            wi_mf = jnp.where(choose_refl[..., None], wi_refl, wt_h)
+            if has_gl:
+                wi_mf = jnp.where((ty == MAT_ROUGH_GLASS)[..., None],
+                                  wi_mf, wi_refl)
+        else:
+            wi_mf = wi_refl
+    else:
+        wi_mf = wi_dr
 
     # ---- diffuse lobes
     d_loc = vec.cosine_sample_hemisphere(u1, u2)

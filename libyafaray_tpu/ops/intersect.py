@@ -113,15 +113,21 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
         # fused Pallas kernel: VMEM-resident triangle table, no HBM
         # intermediates (accel/pallas_intersect.py)
         from ..accel.pallas_intersect import mt_closest, pack_tris
-        v0, v1, v2 = _gather_tri_verts(geom)
-        tris = pack_tris(v0, v1, v2, geom.face_vis)
+        if geom.tri_table is not None:
+            tris = geom.tri_table            # packed once at scene compile
+        else:
+            v0, v1, v2 = _gather_tri_verts(geom)
+            tris = pack_tris(v0, v1, v2, geom.face_vis)
         tris_t1 = None
         tq = None
         if motion:
-            vb = geom.vertices_t1
-            fc = geom.faces
-            tris_t1 = pack_tris(vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]],
-                                geom.face_vis)
+            if geom.tri_table_t1 is not None:
+                tris_t1 = geom.tri_table_t1
+            else:
+                vb = geom.vertices_t1
+                fc = geom.faces
+                tris_t1 = pack_tris(vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]],
+                                    geom.face_vis)
             tq = jnp.asarray(time, jnp.float32)
         excl = (exclude_prim if exclude_prim is not None
                 else jnp.full((n,), -1, jnp.int32))

@@ -449,6 +449,15 @@ class SceneBuilder:
             cols["mat_flags"][i] = flags
         table = MaterialTable(
             num_materials=n, has_blend=has_blend, has_mask=has_mask,
+            # trace-time specialization hints: which material families /
+            # features exist, so bsdf.py skips lobe math for absent ones
+            present_types=tuple(sorted({int(t) for t in cols["mat_type"]})),
+            has_oren=bool(np.any(np.asarray(cols["sigma"]) > 0.0)
+                          or np.any(np.asarray(cols["node_sigma_oren"]) >= 0)),
+            has_aniso=bool(np.any(np.asarray(cols["mat_flags"])
+                                  & FLAG_ANISOTROPIC)),
+            has_fresnel=bool(np.any(np.asarray(cols["mat_flags"])
+                                    & FLAG_FRESNEL)),
             **{k: jnp.asarray(v) for k, v in cols.items()})
         return table, light_mat_emit
 
@@ -603,12 +612,28 @@ class SceneBuilder:
     def _geometry_to_device(self, g) -> Geometry:
         v1 = g.pop("vertices_t1", None)
         orco = g.pop("orcos", None)
-        return Geometry(
+        geom = Geometry(
             num_faces=int(len(g["faces"])), num_spheres=int(len(g["sph_radius"])),
             vertices_t1=(jnp.asarray(v1) if v1 is not None else None),
             has_motion=v1 is not None,
             orcos=(jnp.asarray(orco) if orco is not None else None),
             **{k: jnp.asarray(v) for k, v in g.items()})
+        # Pack the Pallas triangle table once here ("done once at scene
+        # compile", ADVICE r1) instead of per intersect call.
+        from .ops.intersect import PALLAS_MAX_TRIS
+        if 0 < geom.num_faces <= PALLAS_MAX_TRIS:
+            from .accel.pallas_intersect import pack_tris
+            fc = geom.faces
+            v = geom.vertices
+            tab = pack_tris(v[fc[:, 0]], v[fc[:, 1]], v[fc[:, 2]],
+                            geom.face_vis)
+            tab1 = None
+            if geom.has_motion:
+                vb = geom.vertices_t1
+                tab1 = pack_tris(vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]],
+                                 geom.face_vis)
+            geom = geom.replace(tri_table=tab, tri_table_t1=tab1)
+        return geom
 
     # ------------------------------------------------------------------
     def _build_lights(self, obj_face_ranges, geom_np):
@@ -710,7 +735,12 @@ class SceneBuilder:
                 cols["edge2"][i] = e2
                 cols["direction"][i] = nrm / max(area, 1e-12)
                 cols["area"][i] = area
-                cols["color"][i] = col * power  # stored radiance
+                # reference net contribution = color*power*area*cos/d^2:
+                # light_area.cc:41 stores color_ = col*inte*pi but its pdf
+                # (light_area.cc:88) carries an extra pi that cancels it, so
+                # with our true solid-angle pdf the stored radiance is
+                # col*power
+                cols["color"][i] = col * power
                 cols["samples"][i] = pm.get_int("samples", 4)
                 extra_faces.append((i, corner, p1, p2, col * power))
             elif ty == "spherelight":
@@ -721,7 +751,11 @@ class SceneBuilder:
                 cols["radius"][i] = r
                 area = 4.0 * math.pi * r * r
                 cols["area"][i] = area
-                cols["color"][i] = col * power / (area * math.pi)
+                # reference convention: contribution = color*power*omega/pi
+                # (light_sphere.cc:36,90-91 — color_=col*inte with cone pdf
+                # lacking the 2*pi factor); with our true solid-angle pdf the
+                # equivalent stored radiance is color*power/pi
+                cols["color"][i] = col * power / math.pi
                 cols["samples"][i] = pm.get_int("samples", 4)
             elif ty in ("meshlight", "objectlight", "bgPortalLight"):
                 is_portal = ty == "bgPortalLight"
@@ -741,6 +775,11 @@ class SceneBuilder:
                         0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
                     geom_np["face_light"][start:start + cnt] = i
                 if not is_portal:
+                    # reference net contribution = color*power*area*cos/d^2:
+                    # the factory stores col*power*pi
+                    # (light_object_light.cc:246) and the pdf carries an
+                    # extra pi (same file :138,211) that cancels it; with our
+                    # standard pdf the stored radiance is col*power
                     cols["color"][i] = col * power
                 if pm.get_bool("double_sided", False):
                     flags |= FLAG_DOUBLE_SIDED
@@ -761,6 +800,8 @@ class SceneBuilder:
 
         lights = LightTable(
             num_lights=len(specs), bg_light_idx=bg_light_idx,
+            present_types=tuple(sorted(
+                {int(t) for t in cols["light_type"][:len(specs)]})),
             ies_pool=(jnp.asarray(np.stack([
                 np.interp(np.linspace(0, 1, 64),
                           np.linspace(0, 1, len(p)), p)

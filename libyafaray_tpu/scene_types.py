@@ -103,6 +103,13 @@ class Geometry:
     # mesh streamed them — SurfacePoint then falls back to untransformed
     # object-space positions baked in at compile.
     orcos: Optional[Array] = None         # f32[V, 3]
+    # packed f32[C,16] triangle tables for the fused Pallas intersect kernel
+    # (accel/pallas_intersect.py pack_tris) — built ONCE at scene compile so
+    # per-bounce queries don't re-pay the gather+scatter packing cost
+    # (ADVICE r1); None when the scene is too large for the VMEM-resident
+    # kernel or has no faces.
+    tri_table: Optional[Array] = None     # f32[C, 16]
+    tri_table_t1: Optional[Array] = None  # f32[C, 16] motion keyframe t=1
     num_faces: int = struct.field(pytree_node=False, default=0)
     num_spheres: int = struct.field(pytree_node=False, default=0)
     has_motion: bool = struct.field(pytree_node=False, default=False)
@@ -164,6 +171,17 @@ class MaterialTable:
     # static capability hints so blend/mask machinery traces only when used
     has_blend: bool = struct.field(pytree_node=False, default=False)
     has_mask: bool = struct.field(pytree_node=False, default=False)
+    # trace-time specialization: the set of mat_type values present in the
+    # scene (empty tuple = unknown -> assume all). Lobe math for absent
+    # material families is never traced, so e.g. an all-diffuse scene pays
+    # no GGX/Blinn/refract VPU work per bounce.
+    present_types: tuple = struct.field(pytree_node=False, default=())
+    # any row with Oren-Nayar sigma > 0 (or a sigma node bound)
+    has_oren: bool = struct.field(pytree_node=False, default=True)
+    # any row with the anisotropic flag
+    has_aniso: bool = struct.field(pytree_node=False, default=True)
+    # any row with fresnel_effect set (shiny-diffuse fresnel mirror weight)
+    has_fresnel: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -192,6 +210,10 @@ class LightTable:
     # background light (importance-sampled env) is flagged by type; its
     # distribution tables live in Background
     bg_light_idx: int = struct.field(pytree_node=False, default=-1)
+    # trace-time specialization: light_type values present in the scene
+    # (empty tuple = unknown -> assume all); sample/pdf math for absent
+    # light families is never traced.
+    present_types: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass

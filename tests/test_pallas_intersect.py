@@ -74,6 +74,86 @@ def test_kernel_matches_scan_oracle(rng, shadow, monkeypatch):
         np.asarray(ref.uv)[valid], rtol=1e-4, atol=1e-5)
 
 
+def test_kernel_tie_break_is_self_consistent(monkeypatch):
+    """Ray hitting the exact shared edge of two triangles: the kernel must
+    return the LOWEST prim id among the tied winners with u/v taken from that
+    same triangle (matching the scan oracle's argmin), not a mix (ADVICE r1).
+    """
+    # two triangles in the z=1 plane sharing the edge x=0, y in [-1,1]
+    v0 = jnp.asarray([[0.0, -1.0, 1.0], [0.0, -1.0, 1.0]], jnp.float32)
+    v1 = jnp.asarray([[0.0, 1.0, 1.0], [1.0, -1.0, 1.0]], jnp.float32)
+    v2 = jnp.asarray([[-1.0, -1.0, 1.0], [0.0, 1.0, 1.0]], jnp.float32)
+    vis = jnp.asarray([3, 3], jnp.int32)
+    tris = pack_tris(v0, v1, v2, vis)
+    o = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    t_min = jnp.asarray([1e-4], jnp.float32)
+    t_max = jnp.asarray([1e30], jnp.float32)
+    excl = jnp.asarray([-1], jnp.int32)
+    bt, bp, bu, bv = mt_closest(tris, o, d, t_min, t_max, excl,
+                                interpret=True)
+    assert int(bp[0]) == 0          # lowest index among the tie
+    np.testing.assert_allclose(float(bt[0]), 1.0, rtol=1e-6)
+    # barycentrics must belong to triangle 0: hit point (0,0,1) in tri 0 has
+    # u (towards v1=(0,1,1)) = 0.5, v (towards v2=(-1,-1,1)) = 0.
+    np.testing.assert_allclose(float(bu[0]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(bv[0]), 0.0, atol=1e-6)
+
+
+_TPU_SMOKE = r"""
+import numpy as np
+import jax, jax.numpy as jnp
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU"); raise SystemExit(0)
+from libyafaray_tpu.accel.pallas_intersect import mt_closest, pack_tris, use_pallas
+rng = np.random.default_rng(7)
+f, n = 300, 1024
+vtx = rng.standard_normal((f * 3, 3)).astype(np.float32)
+v0, v1, v2 = vtx[0::3], vtx[1::3], vtx[2::3]
+vis = np.full(f, 3, np.int32)
+tris = pack_tris(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                 jnp.asarray(vis))
+o = rng.standard_normal((n, 3)).astype(np.float32) * 2
+d = rng.standard_normal((n, 3)).astype(np.float32)
+d /= np.linalg.norm(d, axis=1, keepdims=True)
+t_min = jnp.full(n, 1e-4); t_max = jnp.full(n, 1e30)
+excl = jnp.full(n, -1, jnp.int32)
+bt, bp, bu, bv = mt_closest(tris, jnp.asarray(o), jnp.asarray(d),
+                            t_min, t_max, excl)                # compiled
+rt, rp, ru, rv = mt_closest(tris, jnp.asarray(o), jnp.asarray(d),
+                            t_min, t_max, excl, interpret=True)  # oracle
+valid = np.asarray(bp >= 0)
+assert use_pallas(), "probe rejected the compiled kernel"
+np.testing.assert_array_equal(valid, np.asarray(rp >= 0))
+np.testing.assert_array_equal(np.asarray(bp)[valid], np.asarray(rp)[valid])
+np.testing.assert_allclose(np.asarray(bt)[valid], np.asarray(rt)[valid],
+                           rtol=1e-5, atol=1e-5)
+print("TPU_OK", int(valid.sum()))
+"""
+
+
+def test_compiled_kernel_on_tpu_smoke():
+    """Run the COMPILED (non-interpret) kernel on real TPU hardware in a
+    subprocess free of the conftest CPU forcing; skip when no TPU is
+    attached (ADVICE r1, medium: the Mosaic-compiled path must be exercised,
+    not only interpret mode)."""
+    import os
+    import subprocess
+    import sys
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p])
+    res = subprocess.run([sys.executable, "-c", _TPU_SMOKE], env=env,
+                         capture_output=True, text=True, timeout=600)
+    out = res.stdout + res.stderr
+    if "NO_TPU" in res.stdout:
+        pytest.skip("no TPU backend attached")
+    assert res.returncode == 0, out
+    assert "TPU_OK" in res.stdout, out
+
+
 def test_kernel_motion_blur_matches_scan(rng, monkeypatch):
     f, n = 200, 1024
     geom = _random_geom(rng, f, motion=True)
