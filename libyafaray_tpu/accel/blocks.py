@@ -53,10 +53,15 @@ class BlockAccel:
     row-gather of a contiguous slice (the whole point: TPU gathers are
     slice-granular — fetching a block as a 9*B-float row costs ~1 gather,
     not 3*B scalar gathers)."""
-    geo: Array       # f32[C, B, 9] v0|v1|v2 per triangle
+    geo: Array       # f32[C, B, 9] v0|v1|v2 per triangle (time step 0)
     meta: Array      # i32[C, B, 2] (original face index | -1, visibility)
-    bmin: Array      # f32[C, 3] block AABB
+    bmin: Array      # f32[C, 3] block AABB (union over all time steps)
     bmax: Array      # f32[C, 3]
+    # motion blur keyframes (b-spline control points; None when static).
+    # Block AABBs are unions over all control points — the b-spline curve
+    # lies inside the control hull, so culling stays conservative.
+    geo_t1: Optional[Array] = None   # f32[C, B, 9]
+    geo_t2: Optional[Array] = None   # f32[C, B, 9] (quadratic only)
     block_size: int = struct.field(pytree_node=False, default=MIN_BLOCK)
     num_blocks: int = struct.field(pytree_node=False, default=0)
 
@@ -101,17 +106,41 @@ def build_blocks(geom: Geometry) -> BlockAccel:
         if pad else geom.face_vis[order]
 
     valid = (prim >= 0).reshape(c, b)
+
+    def keyframe_tables(verts):
+        k0 = pad3(verts[geom.faces[:, 0]])
+        k1 = pad3(verts[geom.faces[:, 1]])
+        k2 = pad3(verts[geom.faces[:, 2]])
+        geo_k = jnp.concatenate([k0, k1, k2], axis=-1).reshape(c, b, 9)
+        kmin = jnp.where(valid[..., None],
+                         jnp.minimum(jnp.minimum(k0, k1), k2).reshape(c, b, 3),
+                         jnp.inf)
+        kmax = jnp.where(valid[..., None],
+                         jnp.maximum(jnp.maximum(k0, k1), k2).reshape(c, b, 3),
+                         -jnp.inf)
+        return geo_k, jnp.min(kmin, axis=1), jnp.max(kmax, axis=1)
+
     bt_min = jnp.where(valid[..., None],
                        jnp.minimum(jnp.minimum(v0s, v1s), v2s).reshape(c, b, 3),
                        jnp.inf)
     bt_max = jnp.where(valid[..., None],
                        jnp.maximum(jnp.maximum(v0s, v1s), v2s).reshape(c, b, 3),
                        -jnp.inf)
+    bmin = jnp.min(bt_min, axis=1)
+    bmax = jnp.max(bt_max, axis=1)
     geo = jnp.concatenate([v0s, v1s, v2s], axis=-1).reshape(c, b, 9)
+    geo_t1 = geo_t2 = None
+    if geom.has_motion and geom.vertices_t1 is not None:
+        geo_t1, m1, x1 = keyframe_tables(geom.vertices_t1)
+        bmin = jnp.minimum(bmin, m1)
+        bmax = jnp.maximum(bmax, x1)
+        if geom.vertices_t2 is not None:
+            geo_t2, m2, x2 = keyframe_tables(geom.vertices_t2)
+            bmin = jnp.minimum(bmin, m2)
+            bmax = jnp.maximum(bmax, x2)
     meta = jnp.stack([prim, vis.astype(jnp.int32)], axis=-1).reshape(c, b, 2)
-    return BlockAccel(geo=geo, meta=meta,
-                      bmin=jnp.min(bt_min, axis=1),
-                      bmax=jnp.max(bt_max, axis=1),
+    return BlockAccel(geo=geo, meta=meta, bmin=bmin, bmax=bmax,
+                      geo_t1=geo_t1, geo_t2=geo_t2,
                       block_size=b, num_blocks=int(c))
 
 
@@ -121,7 +150,7 @@ def _safe_inv(d: Array) -> Array:
 
 
 def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
-                 vis_bit: int, any_hit: bool):
+                 vis_bit: int, any_hit: bool, time=None):
     """One ray chunk through the block loop. Returns (t, prim, uv)."""
     from ..ops.intersect import moller_trumbore
     n = o.shape[0]
@@ -168,6 +197,16 @@ def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
         # ONE row-gather per table: [n, b, 9] / [n, b, 2] contiguous slices
         g = acc.geo[j]
         m = acc.meta[j]
+        if time is not None and acc.geo_t1 is not None:
+            tt = time[:, None, None]
+            g1 = acc.geo_t1[j]
+            if acc.geo_t2 is not None:
+                # quadratic b-spline (primitive_triangle_bspline.cc:40-44)
+                g2 = acc.geo_t2[j]
+                tc = 1.0 - tt
+                g = g * (tc * tc) + g1 * (2.0 * tt * tc) + g2 * (tt * tt)
+            else:
+                g = g * (1.0 - tt) + g1 * tt
         gv0, gv1, gv2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
         hit, t, u, v = moller_trumbore(o[:, None], d[:, None], gv0, gv1, gv2,
                                        t_min[:, None], best_t[:, None])
@@ -192,7 +231,7 @@ def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
 
 
 def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
-          vis_bit: int, any_hit: bool):
+          vis_bit: int, any_hit: bool, time=None):
     """Full-wavefront query: pads + reshapes into RAY_CHUNK chunks mapped
     sequentially (bounds the [chunk, C] key table), then appends the dense
     sphere pass."""
@@ -218,6 +257,8 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         inv_order = jnp.argsort(order).astype(jnp.int32)
         o, d = o[order], d[order]
         t_min, t_max, exclude = t_min[order], t_max[order], exclude[order]
+        if time is not None:
+            time = time[order]
     def padded(x, fill):
         return jnp.concatenate(
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
@@ -226,13 +267,22 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
     tmins = padded(t_min, 0.0).reshape(-1, chunk)
     tmaxs = padded(t_max, -1.0).reshape(-1, chunk)  # padded rays: empty range
     excl = padded(exclude, -1).reshape(-1, chunk)
+    times = (padded(time, 0.0).reshape(-1, chunk)
+             if time is not None else None)
     if os_.shape[0] == 1:
         bt, bp, buv = _query_chunk(acc, os_[0], ds_[0], tmins[0], tmaxs[0],
-                                   excl[0], vis_bit, any_hit)
-    else:
+                                   excl[0], vis_bit, any_hit,
+                                   time=None if times is None else times[0])
+    elif times is None:
         bt, bp, buv = jax.lax.map(
             lambda xs: _query_chunk(acc, *xs, vis_bit, any_hit),
             (os_, ds_, tmins, tmaxs, excl))
+        bt, bp, buv = bt.reshape(-1), bp.reshape(-1), buv.reshape(-1, 2)
+    else:
+        bt, bp, buv = jax.lax.map(
+            lambda xs: _query_chunk(acc, *xs[:-1], vis_bit, any_hit,
+                                    time=xs[-1]),
+            (os_, ds_, tmins, tmaxs, excl, times))
         bt, bp, buv = bt.reshape(-1), bp.reshape(-1), buv.reshape(-1, 2)
     bt, bp, buv = bt[:n], bp[:n], buv[:n]
     if inv_order is not None:
@@ -264,23 +314,23 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
 
 def blocks_closest(scene, o, d, t_min, t_max,
                    exclude_prim: Optional[Array] = None,
-                   shadow: bool = False):
+                   shadow: bool = False, time=None):
     from ..ops.intersect import Hit
     n = o.shape[0]
     exclude = (exclude_prim if exclude_prim is not None
                else jnp.full((n,), -1, jnp.int32))
     bt, bp, buv = query(scene.blocks, scene.geom, o, d, t_min, t_max,
-                        exclude, 2 if shadow else 1, False)
+                        exclude, 2 if shadow else 1, False, time=time)
     valid = bp >= 0
     return Hit(valid=valid, t=jnp.where(valid, bt, t_max),
                prim=jnp.maximum(bp, 0), uv=buv)
 
 
 def blocks_any(scene, o, d, t_min, t_max,
-               exclude_prim: Optional[Array] = None) -> Array:
+               exclude_prim: Optional[Array] = None, time=None) -> Array:
     n = o.shape[0]
     exclude = (exclude_prim if exclude_prim is not None
                else jnp.full((n,), -1, jnp.int32))
     _, bp, _ = query(scene.blocks, scene.geom, o, d, t_min, t_max,
-                     exclude, 2, True)
+                     exclude, 2, True, time=time)
     return bp >= 0

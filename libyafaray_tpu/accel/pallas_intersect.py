@@ -48,7 +48,8 @@ EPS_DET = 1e-10
 
 def _mt_kernel(rays_ref, tris_ref, t_ref, id_ref, u_ref, v_ref, *,
                n_chunks: int, chunk: int,
-               vis_col: int, motion: bool, tris_t1_ref=None):
+               vis_col: int, motion: int, tris_t1_ref=None,
+               tris_t2_ref=None):
     """One ray tile vs the whole triangle table."""
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -69,7 +70,14 @@ def _mt_kernel(rays_ref, tris_ref, t_ref, id_ref, u_ref, v_ref, *,
 
         def col(j):
             c = tr[:, j:j + 1]                       # [C,1]
-            if motion:
+            if motion == 2:
+                # quadratic b-spline over 3 control points (the reference's
+                # BsTrianglePrimitive, primitive_triangle_bspline.cc:40-44)
+                c1 = tris_t1_ref[pl.ds(base, chunk), j:j + 1]
+                c2 = tris_t2_ref[pl.ds(base, chunk), j:j + 1]
+                tc = 1.0 - tt
+                return c * (tc * tc) + c1 * (2.0 * tt * tc) + c2 * (tt * tt)
+            if motion == 1:
                 c1 = tris_t1_ref[pl.ds(base, chunk), j:j + 1]
                 return c * (1.0 - tt) + c1 * tt      # [C,N] per-ray lerp
             return c
@@ -158,11 +166,13 @@ def pack_tris(v0, v1, v2, face_vis):
 
 @functools.partial(jax.jit, static_argnames=("shadow", "interpret"))
 def mt_closest(tris, o, d, t_min, t_max, exclude, time=None,
-               tris_t1=None, shadow: bool = False, interpret: bool = False):
+               tris_t1=None, tris_t2=None, shadow: bool = False,
+               interpret: bool = False):
     """Closest-hit of rays against a packed triangle table.
 
     Args: tris f32[C,16] (pack_tris); o,d f32[N,3]; t_min/t_max/exclude [N];
-    optional time f32[N] + tris_t1 for 2-keyframe motion blur.
+    optional time f32[N] + tris_t1 (linear motion blur) + tris_t2
+    (quadratic b-spline motion blur with 3 control points).
     Returns (t f32[N], prim i32[N] (-1 = miss), u, v).
     """
     n = o.shape[0]
@@ -181,20 +191,32 @@ def mt_closest(tris, o, d, t_min, t_max, exclude, time=None,
     rays = rays.at[7, :n].set(t_max)
     rays = rays.at[7, n:].set(-1.0)          # padded rays: empty range
     rays = rays.at[8, :n].set(exclude.astype(jnp.float32))
-    motion = time is not None and tris_t1 is not None
+    motion = 0
+    if time is not None and tris_t1 is not None:
+        motion = 2 if tris_t2 is not None else 1
     if motion:
         rays = rays.at[9, :n].set(time)
 
     kernel = functools.partial(
         _mt_kernel, n_chunks=c // chunk, chunk=chunk,
         vis_col=10 if shadow else 9, motion=motion)
-    if motion:
+    tab_spec = pl.BlockSpec((c, 16), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    if motion == 2:
+        body = lambda r, t0, t1, t2, *outs: kernel(
+            r, t0, *outs, tris_t1_ref=t1, tris_t2_ref=t2)
+        in_specs = [
+            pl.BlockSpec((16, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            tab_spec, tab_spec, tab_spec,
+        ]
+        args = (rays, tris, tris_t1, tris_t2)
+    elif motion == 1:
         body = lambda r, t0, t1, *outs: kernel(r, t0, *outs, tris_t1_ref=t1)
         in_specs = [
             pl.BlockSpec((16, RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            tab_spec, tab_spec,
         ]
         args = (rays, tris, tris_t1)
     else:

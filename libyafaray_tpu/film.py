@@ -46,6 +46,9 @@ LAYER_CHANNELS = {
     "debug-dpdv": 3,
     "debug-dsdu": 3,
     "debug-dsdv": 3,
+    "debug-dpdx": 3,
+    "debug-dpdy": 3,
+    "debug-dpdxy": 3,
     "debug-barycentric-uvw": 3,
     "debug-wireframe": 3,
     "mist": 1,

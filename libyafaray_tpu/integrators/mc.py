@@ -423,6 +423,15 @@ def _first_hit_layers(scene, cfg, sp, d) -> Dict[str, Array]:
             out[name] = jnp.where(v, vec.normalize(sp.dp_du) * 0.5 + 0.5, 0.0)
         elif name == "debug-dpdv":
             out[name] = jnp.where(v, vec.normalize(sp.dp_dv) * 0.5 + 0.5, 0.0)
+        elif name == "debug-dpdx" and sp.dp_dx is not None:
+            # screen-space position differentials (reference DebugDpdx,
+            # layer_definitions.h:46; SurfacePoint differentials)
+            out[name] = jnp.where(v, vec.normalize(sp.dp_dx) * 0.5 + 0.5, 0.0)
+        elif name == "debug-dpdy" and sp.dp_dy is not None:
+            out[name] = jnp.where(v, vec.normalize(sp.dp_dy) * 0.5 + 0.5, 0.0)
+        elif name == "debug-dpdxy" and sp.dp_dx is not None:
+            out[name] = jnp.where(
+                v, vec.normalize(sp.dp_dx + sp.dp_dy) * 0.5 + 0.5, 0.0)
         elif name == "debug-dsdu":
             # shading-space tangents (reference dSdU/dSdV, surface.h): the
             # dp_du projected into the bump-mapped shading frame = nu/nv

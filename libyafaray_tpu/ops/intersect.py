@@ -118,15 +118,21 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
         else:
             v0, v1, v2 = _gather_tri_verts(geom)
             tris = pack_tris(v0, v1, v2, geom.face_vis)
-        tris_t1 = None
+        tris_t1 = tris_t2 = None
         tq = None
         if motion:
+            fc = geom.faces
             if geom.tri_table_t1 is not None:
                 tris_t1 = geom.tri_table_t1
             else:
                 vb = geom.vertices_t1
-                fc = geom.faces
                 tris_t1 = pack_tris(vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]],
+                                    geom.face_vis)
+            if geom.tri_table_t2 is not None:
+                tris_t2 = geom.tri_table_t2
+            elif geom.vertices_t2 is not None:
+                vc = geom.vertices_t2
+                tris_t2 = pack_tris(vc[fc[:, 0]], vc[fc[:, 1]], vc[fc[:, 2]],
                                     geom.face_vis)
             tq = jnp.asarray(time, jnp.float32)
         excl = (exclude_prim if exclude_prim is not None
@@ -134,16 +140,20 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
         tmin_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
         bt, bp, bu, bv = mt_closest(tris, o, d, tmin_v, best_t,
                                     excl, time=tq, tris_t1=tris_t1,
-                                    shadow=shadow)
+                                    tris_t2=tris_t2, shadow=shadow)
         best_t = jnp.where(bp >= 0, bt, best_t)
         best_prim = bp
         best_uv = jnp.stack([bu, bv], axis=-1)
     elif f > 0:
         v0, v1, v2 = _gather_tri_verts(geom)
+        motion2 = motion and geom.vertices_t2 is not None
         if motion:
             vb = geom.vertices_t1
             fc = geom.faces
             v0b, v1b, v2b = vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]]
+            if motion2:
+                vc = geom.vertices_t2
+                v0c, v1c, v2c = vc[fc[:, 0]], vc[fc[:, 1]], vc[fc[:, 2]]
         fvis = (geom.face_vis & vis_bit) != 0
         chunk = _tri_chunk(f)
         pad = (-f) % chunk
@@ -156,6 +166,10 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
                 v0b = jnp.concatenate([v0b, padv])
                 v1b = jnp.concatenate([v1b, padv])
                 v2b = jnp.concatenate([v2b, padv])
+                if motion2:
+                    v0c = jnp.concatenate([v0c, padv])
+                    v1c = jnp.concatenate([v1c, padv])
+                    v2c = jnp.concatenate([v2c, padv])
             fvis = jnp.concatenate([fvis, jnp.zeros((pad,), bool)])
         steps = (f + pad) // chunk
         v0 = v0.reshape(steps, chunk, 3)
@@ -165,6 +179,10 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
             v0b = v0b.reshape(steps, chunk, 3)
             v1b = v1b.reshape(steps, chunk, 3)
             v2b = v2b.reshape(steps, chunk, 3)
+            if motion2:
+                v0c = v0c.reshape(steps, chunk, 3)
+                v1c = v1c.reshape(steps, chunk, 3)
+                v2c = v2c.reshape(steps, chunk, 3)
             tt_ray = jnp.asarray(time, jnp.float32)[:, None, None]
         fvis = fvis.reshape(steps, chunk)
         base_ids = jnp.arange(chunk, dtype=jnp.int32)
@@ -174,10 +192,23 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
 
         def step(carry, chunk_in):
             bt, bp, buv = carry
-            if motion:
+            if motion2:
+                (cv0, cv1, cv2, cb0, cb1, cb2, cc0, cc1, cc2, cvis,
+                 coff) = chunk_in
+                # quadratic b-spline over 3 control points (the reference's
+                # BsTrianglePrimitive, primitive_triangle_bspline.cc:40-44)
+                w0 = (1 - tt_ray) * (1 - tt_ray)
+                w1 = 2.0 * tt_ray * (1 - tt_ray)
+                w2 = tt_ray * tt_ray
+                a0 = cv0[None] * w0 + cb0[None] * w1 + cc0[None] * w2
+                a1 = cv1[None] * w0 + cb1[None] * w1 + cc1[None] * w2
+                a2 = cv2[None] * w0 + cb2[None] * w1 + cc2[None] * w2
+                hit, t, u, v = moller_trumbore(ob, db, a0, a1, a2,
+                                               tmin_b, bt[:, None])
+            elif motion:
                 cv0, cv1, cv2, cb0, cb1, cb2, cvis, coff = chunk_in
                 # per-ray shutter time interpolation (BsTrianglePrimitive
-                # analogue, primitive_triangle_bspline.cc, 2-keyframe lerp)
+                # analogue, 2-keyframe lerp)
                 a0 = cv0[None] * (1 - tt_ray) + cb0[None] * tt_ray
                 a1 = cv1[None] * (1 - tt_ray) + cb1[None] * tt_ray
                 a2 = cv2[None] * (1 - tt_ray) + cb2[None] * tt_ray
@@ -203,8 +234,12 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
             return (bt, bp, buv), None
 
         offs = jnp.arange(steps, dtype=jnp.int32) * chunk
-        xs = ((v0, v1, v2, v0b, v1b, v2b, fvis, offs) if motion
-              else (v0, v1, v2, fvis, offs))
+        if motion2:
+            xs = (v0, v1, v2, v0b, v1b, v2b, v0c, v1c, v2c, fvis, offs)
+        elif motion:
+            xs = (v0, v1, v2, v0b, v1b, v2b, fvis, offs)
+        else:
+            xs = (v0, v1, v2, fvis, offs)
         (best_t, best_prim, best_uv), _ = jax.lax.scan(
             step, (best_t, best_prim, best_uv), xs)
     s = geom.num_spheres
@@ -254,15 +289,17 @@ def closest_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
                 exclude_prim: Optional[Array] = None,
                 time: Optional[Array] = None) -> Hit:
     """Closest-hit query over the whole scene (Accelerator::intersect).
-    Motion-blurred scenes (geom.has_motion) use the brute path with per-ray
-    `time`; the LBVH is built over t=0 bounds only and ignores time."""
+    Motion-blurred scenes (geom.has_motion) run through the brute path or
+    the block accelerator (whose AABBs are unions over all motion control
+    points); the LBVH is built over t=0 bounds only, so motion scenes fall
+    back to brute when `scene_accelerator: "bvh"` is forced."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    if (scene.accel_kind == "blocks" and scene.blocks is not None
-            and not scene.geom.has_motion):
+    if scene.accel_kind == "blocks" and scene.blocks is not None:
         from ..accel.blocks import blocks_closest
-        return _detach_hit(blocks_closest(scene, o, d, t_min, t_max,
-                                          exclude_prim))
+        return _detach_hit(blocks_closest(
+            scene, o, d, t_min, t_max, exclude_prim,
+            time=time if scene.geom.has_motion else None))
     if (scene.accel_kind == "bvh" and scene.bvh is not None
             and not scene.geom.has_motion):
         return _detach_hit(lbvh_closest(scene, o, d, t_min, t_max,
@@ -282,10 +319,10 @@ def any_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
     """Binary shadow query (Accelerator::intersectS analogue)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    if (scene.accel_kind == "blocks" and scene.blocks is not None
-            and not scene.geom.has_motion):
+    if scene.accel_kind == "blocks" and scene.blocks is not None:
         from ..accel.blocks import blocks_any
-        return blocks_any(scene, o, d, t_min, t_max, exclude_prim)
+        return blocks_any(scene, o, d, t_min, t_max, exclude_prim,
+                          time=time if scene.geom.has_motion else None)
     if (scene.accel_kind == "bvh" and scene.bvh is not None
             and not scene.geom.has_motion):
         from ..accel import lbvh

@@ -24,6 +24,7 @@ import numpy as np
 from flax import struct
 
 from . import sampler
+from .lights import _has
 from .materials import bsdf as B
 from .math import vec
 from .ops import intersect as I
@@ -75,53 +76,57 @@ def _emit_photons(scene: SceneData, n: int, seed: int):
     valid = jnp.zeros((n,), bool)
 
     # point light: uniform sphere; power = 4*pi*intensity (light_point.cc)
-    m = ty == LIGHT_POINT
-    d_pt = vec.uniform_sample_sphere(u1, u2)
-    o = jnp.where(m[..., None], pos, o)
-    d = jnp.where(m[..., None], d_pt, d)
-    pw = jnp.where(m[..., None], col * (4.0 * jnp.pi), pw)
-    valid = valid | m
+    if _has(lt, LIGHT_POINT):
+        m = ty == LIGHT_POINT
+        d_pt = vec.uniform_sample_sphere(u1, u2)
+        o = jnp.where(m[..., None], pos, o)
+        d = jnp.where(m[..., None], d_pt, d)
+        pw = jnp.where(m[..., None], col * (4.0 * jnp.pi), pw)
+        valid = valid | m
 
     # spot light: cone (light_spot.cc emitPhoton)
-    m = ty == LIGHT_SPOT
-    axis = lt.direction[li]
-    au, av = vec.orthonormal_basis(axis)
-    cone = vec.uniform_sample_cone(u1, u2, lt.cos_end[li])
-    d_sp = au * cone[..., 0:1] + av * cone[..., 1:2] + axis * cone[..., 2:3]
-    omega = 2.0 * jnp.pi * (1.0 - lt.cos_end[li])
-    o = jnp.where(m[..., None], pos, o)
-    d = jnp.where(m[..., None], d_sp, d)
-    pw = jnp.where(m[..., None], col * omega[..., None], pw)
-    valid = valid | m
+    if _has(lt, LIGHT_SPOT):
+        m = ty == LIGHT_SPOT
+        axis = lt.direction[li]
+        au, av = vec.orthonormal_basis(axis)
+        cone = vec.uniform_sample_cone(u1, u2, lt.cos_end[li])
+        d_sp = au * cone[..., 0:1] + av * cone[..., 1:2] + axis * cone[..., 2:3]
+        omega = 2.0 * jnp.pi * (1.0 - lt.cos_end[li])
+        o = jnp.where(m[..., None], pos, o)
+        d = jnp.where(m[..., None], d_sp, d)
+        pw = jnp.where(m[..., None], col * omega[..., None], pw)
+        valid = valid | m
 
     # area light: corner + u*e1 + v*e2, cosine-hemisphere direction
     # (light_area.cc emitPhoton: ipdf = area, cosine-sampled dir)
-    m = ty == LIGHT_AREA
-    lp = pos + lt.edge1[li] * u1[..., None] + lt.edge2[li] * u2[..., None]
-    nrm = lt.direction[li]
-    nu, nv = vec.orthonormal_basis(nrm)
-    dl = vec.cosine_sample_hemisphere(u3, u4)
-    d_ar = nu * dl[..., 0:1] + nv * dl[..., 1:2] + nrm * dl[..., 2:3]
-    o = jnp.where(m[..., None], lp, o)
-    d = jnp.where(m[..., None], d_ar, d)
-    # flux = L * area * pi (cosine integral)
-    pw = jnp.where(m[..., None], col * (lt.area[li] * jnp.pi)[..., None], pw)
-    valid = valid | m
+    if _has(lt, LIGHT_AREA):
+        m = ty == LIGHT_AREA
+        lp = pos + lt.edge1[li] * u1[..., None] + lt.edge2[li] * u2[..., None]
+        nrm = lt.direction[li]
+        nu, nv = vec.orthonormal_basis(nrm)
+        dl = vec.cosine_sample_hemisphere(u3, u4)
+        d_ar = nu * dl[..., 0:1] + nv * dl[..., 1:2] + nrm * dl[..., 2:3]
+        o = jnp.where(m[..., None], lp, o)
+        d = jnp.where(m[..., None], d_ar, d)
+        # flux = L * area * pi (cosine integral)
+        pw = jnp.where(m[..., None], col * (lt.area[li] * jnp.pi)[..., None], pw)
+        valid = valid | m
 
     # sphere light: point on sphere + cosine hemisphere
-    m = ty == LIGHT_SPHERE
-    sp_n = vec.uniform_sample_sphere(u1, u2)
-    sp_p = pos + sp_n * lt.radius[li][..., None]
-    su, sv = vec.orthonormal_basis(sp_n)
-    dl2 = vec.cosine_sample_hemisphere(u3, u4)
-    d_sl = su * dl2[..., 0:1] + sv * dl2[..., 1:2] + sp_n * dl2[..., 2:3]
-    o = jnp.where(m[..., None], sp_p, o)
-    d = jnp.where(m[..., None], d_sl, d)
-    pw = jnp.where(m[..., None], col * (lt.area[li] * jnp.pi)[..., None], pw)
-    valid = valid | m
+    if _has(lt, LIGHT_SPHERE):
+        m = ty == LIGHT_SPHERE
+        sp_n = vec.uniform_sample_sphere(u1, u2)
+        sp_p = pos + sp_n * lt.radius[li][..., None]
+        su, sv = vec.orthonormal_basis(sp_n)
+        dl2 = vec.cosine_sample_hemisphere(u3, u4)
+        d_sl = su * dl2[..., 0:1] + sv * dl2[..., 1:2] + sp_n * dl2[..., 2:3]
+        o = jnp.where(m[..., None], sp_p, o)
+        d = jnp.where(m[..., None], d_sl, d)
+        pw = jnp.where(m[..., None], col * (lt.area[li] * jnp.pi)[..., None], pw)
+        valid = valid | m
 
     # mesh light: uniform triangle + cosine hemisphere
-    if scene.geom.num_faces > 0:
+    if scene.geom.num_faces > 0 and _has(lt, LIGHT_MESH):
         m = ty == LIGHT_MESH
         cnt = jnp.maximum(lt.tri_count[li], 1)
         tri_i = lt.tri_start[li] + jnp.clip(

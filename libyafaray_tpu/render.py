@@ -111,7 +111,7 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
            film_autosave_interval_passes: int = 0,
            photon_maps_processing: str = "generate",
            photon_map_path: Optional[str] = None,
-           render_control=None) -> F.Film:
+           render_control=None, stats=None) -> F.Film:
     """Multi-pass render loop (TiledIntegrator::render analogue).
 
     width/height default to the camera's resx/resy; passing a different
@@ -182,11 +182,18 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
     if render_control is not None:
         render_control.set_started()
     total = aa.aa_samples + (aa.aa_passes - 1) * aa.aa_inc_samples
+    if stats is not None:
+        stats.start("rendert")
     # pass 1: aa_samples samples everywhere
     for i in range(aa.aa_samples):
         if canceled():
             break
+        if stats is not None:
+            stats.begin_pass()
         film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), ones)
+        if stats is not None:
+            jax.block_until_ready(film.weights)
+            stats.end_pass(width * height)
         s += 1
         autosave(s)
         if progress_cb:
@@ -198,8 +205,14 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
         if canceled():
             break
         mask = compute_resample_mask(film, aa.threshold)
+        n_resample = int(jnp.sum(mask > 0)) if stats is not None else 0
         for i in range(aa.aa_inc_samples):
+            if stats is not None:
+                stats.begin_pass()
             film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), mask)
+            if stats is not None:
+                jax.block_until_ready(film.weights)
+                stats.end_pass(n_resample)
             s += 1
             autosave(s)
         if progress_cb:
@@ -211,4 +224,6 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
         F.save_film(film, film_path, sampling_offset=s)
     if render_control is not None and not canceled():
         render_control.set_finished()
+    if stats is not None:
+        stats.stop("rendert")
     return film

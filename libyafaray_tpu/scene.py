@@ -63,7 +63,8 @@ class _MeshObject:
     name: str
     obj_id: int
     vertices: List = field(default_factory=list)
-    vertices_t1: List = field(default_factory=list)  # motion keyframe (t=1)
+    vertices_t1: List = field(default_factory=list)  # motion keyframe
+    vertices_t2: List = field(default_factory=list)  # 2nd keyframe (bspline)
     orcos: List = field(default_factory=list)  # streamed orco coordinates
     normals: List = field(default_factory=list)  # optional streamed normals
     uvs: List = field(default_factory=list)
@@ -201,10 +202,17 @@ class SceneBuilder:
         self.current_object.normals.append((x, y, z))
 
     def add_vertex_time_step(self, x, y, z) -> None:
-        """Shutter-close (t=1) position of the most recently added vertex
-        (motion blur; the reference's b-spline time-step vertices,
-        primitive_triangle_bspline.cc, linearized to 2 keyframes)."""
-        self.current_object.vertices_t1.append((x, y, z))
+        """Motion-blur time-step position of the most recently added vertex
+        (the reference's b-spline time-step vertices,
+        primitive_triangle_bspline.cc). The first full extra keyframe fills
+        time step 1; a second full keyframe fills step 2, switching the
+        interpolation from linear (2 control points) to the reference's
+        quadratic b-spline (3 control points)."""
+        obj = self.current_object
+        if len(obj.vertices_t1) < len(obj.vertices):
+            obj.vertices_t1.append((x, y, z))
+        else:
+            obj.vertices_t2.append((x, y, z))
 
     def add_uv(self, u, v) -> int:
         self.current_object.uvs.append((u, v))
@@ -255,11 +263,16 @@ class SceneBuilder:
             obj.faces.append((int(f[0]), int(f[1]), int(f[2]),
                               int(u[0]), int(u[1]), int(u[2]), int(m)))
 
-    def add_mesh_time_step(self, vertices_t1) -> None:
-        """Bulk shutter-close (t=1) vertex positions for the current object
-        (motion blur; native C API yafaray_addVertexTimeStep fast path)."""
-        arr = np.asarray(vertices_t1, np.float32).reshape(-1, 3)
-        self.current_object.vertices_t1.extend(map(tuple, arr))
+    def add_mesh_time_step(self, vertices_kf) -> None:
+        """Bulk motion-blur keyframe for the current object (native C API
+        yafaray_addVertexTimeStep fast path). First call = time step 1,
+        second call = time step 2 (quadratic b-spline control points)."""
+        arr = np.asarray(vertices_kf, np.float32).reshape(-1, 3)
+        obj = self.current_object
+        if len(obj.vertices_t1) < len(obj.vertices):
+            obj.vertices_t1.extend(map(tuple, arr))
+        else:
+            obj.vertices_t2.extend(map(tuple, arr))
 
     def smooth_mesh(self, name: str = "", angle: float = 181.0) -> None:
         obj = self.objects[name] if name else self.current_object
@@ -339,7 +352,7 @@ class SceneBuilder:
         # (the production path); "bvh" keeps the Karras LBVH; "brute" /
         # "yafaray-simpletest" is the oracle. Default: blocks for larger
         # meshes, brute for trivial ones (dense scan already optimal there).
-        default = ("blocks" if geom.num_faces >= 2048 and not geom.has_motion
+        default = ("blocks" if geom.num_faces >= 2048
                    else self.accel_kind)
         accel = self.render_params.get_string("scene_accelerator", default)
         if accel == "bvh" and geom.num_faces > 0:
@@ -485,6 +498,7 @@ class SceneBuilder:
         """Concatenate all meshes (+instances baked) into flat arrays."""
         all_v: List[np.ndarray] = []
         all_v1: List[np.ndarray] = []
+        all_v2: List[np.ndarray] = []
         all_orco: List[np.ndarray] = []
         all_n: List[np.ndarray] = []
         all_uv: List[np.ndarray] = [np.zeros((1, 2), np.float32)]
@@ -524,6 +538,10 @@ class SceneBuilder:
                 v1_arr = np.asarray(obj.vertices_t1, np.float32).reshape(-1, 3)
             else:
                 v1_arr = v
+            if obj.vertices_t2 and len(obj.vertices_t2) == len(obj.vertices):
+                v2_arr = np.asarray(obj.vertices_t2, np.float32).reshape(-1, 3)
+            else:
+                v2_arr = v1_arr
             # orco: streamed values, else the untransformed object-space
             # positions (stays object-local under instancing, like the
             # reference's per-mesh orco stream)
@@ -534,6 +552,7 @@ class SceneBuilder:
             if matrix is not None:
                 v = v @ matrix[:3, :3].T + matrix[:3, 3]
                 v1_arr = v1_arr @ matrix[:3, :3].T + matrix[:3, 3]
+                v2_arr = v2_arr @ matrix[:3, :3].T + matrix[:3, 3]
             f = np.asarray([fc[:3] for fc in obj.faces], np.int32)
             fuv = np.asarray([fc[3:6] for fc in obj.faces], np.int32)
             fmat = np.asarray([fc[6] for fc in obj.faces], np.int32)
@@ -557,6 +576,7 @@ class SceneBuilder:
             start = f_count
             all_v.append(v)
             all_v1.append(v1_arr)
+            all_v2.append(v2_arr)
             all_orco.append(orco_arr)
             all_n.append(n_arr)
             if uv.size:
@@ -580,10 +600,15 @@ class SceneBuilder:
 
         has_motion = any(
             self.objects[n].vertices_t1 for n in self.object_order)
+        # quadratic b-spline motion: any object streamed a 2nd keyframe
+        has_motion2 = has_motion and any(
+            self.objects[n].vertices_t2 for n in self.object_order)
         has_orco = any(self.objects[n].orcos for n in self.object_order)
         geom_np = dict(
             vertices=np.concatenate(all_v) if all_v else np.zeros((1, 3), np.float32),
             vertices_t1=(np.concatenate(all_v1) if (all_v1 and has_motion)
+                         else None),
+            vertices_t2=(np.concatenate(all_v2) if (all_v2 and has_motion2)
                          else None),
             orcos=(np.concatenate(all_orco) if (all_orco and has_orco)
                    else None),
@@ -611,10 +636,12 @@ class SceneBuilder:
 
     def _geometry_to_device(self, g) -> Geometry:
         v1 = g.pop("vertices_t1", None)
+        v2 = g.pop("vertices_t2", None)
         orco = g.pop("orcos", None)
         geom = Geometry(
             num_faces=int(len(g["faces"])), num_spheres=int(len(g["sph_radius"])),
             vertices_t1=(jnp.asarray(v1) if v1 is not None else None),
+            vertices_t2=(jnp.asarray(v2) if v2 is not None else None),
             has_motion=v1 is not None,
             orcos=(jnp.asarray(orco) if orco is not None else None),
             **{k: jnp.asarray(v) for k, v in g.items()})
@@ -627,12 +654,17 @@ class SceneBuilder:
             v = geom.vertices
             tab = pack_tris(v[fc[:, 0]], v[fc[:, 1]], v[fc[:, 2]],
                             geom.face_vis)
-            tab1 = None
+            tab1 = tab2 = None
             if geom.has_motion:
                 vb = geom.vertices_t1
                 tab1 = pack_tris(vb[fc[:, 0]], vb[fc[:, 1]], vb[fc[:, 2]],
                                  geom.face_vis)
-            geom = geom.replace(tri_table=tab, tri_table_t1=tab1)
+                if geom.vertices_t2 is not None:
+                    vc = geom.vertices_t2
+                    tab2 = pack_tris(vc[fc[:, 0]], vc[fc[:, 1]], vc[fc[:, 2]],
+                                     geom.face_vis)
+            geom = geom.replace(tri_table=tab, tri_table_t1=tab1,
+                                tri_table_t2=tab2)
         return geom
 
     # ------------------------------------------------------------------
@@ -830,6 +862,8 @@ class SceneBuilder:
         g["vertices"] = np.concatenate([g["vertices"], nv])
         if g.get("vertices_t1") is not None:
             g["vertices_t1"] = np.concatenate([g["vertices_t1"], nv])
+        if g.get("vertices_t2") is not None:
+            g["vertices_t2"] = np.concatenate([g["vertices_t2"], nv])
         g["normals"] = np.concatenate([g["normals"], np.zeros_like(nv)])
         g["faces"] = np.concatenate([g["faces"], nf]) if len(g["faces"]) else nf
         g["face_uvs"] = np.concatenate([g["face_uvs"], np.zeros((cnt, 3), np.int32)])

@@ -93,11 +93,13 @@ class Geometry:
     # bit1 = casts shadows (derived from the reference Visibility enum)
     face_vis: Array        # i32[F]
     sph_vis: Array         # i32[S]
-    # motion blur: vertex positions at shutter close (t=1); rays carry a
-    # time in [0,1] and triangles interpolate linearly (the reference's
-    # 3-point b-spline triangles, primitive_triangle_bspline.cc, done as a
-    # 2-keyframe lerp). None when the scene is static.
+    # motion blur: extra vertex keyframes; rays carry a time in [0,1].
+    # With one extra keyframe (vertices_t1 only) triangles interpolate
+    # linearly; with two, positions follow the reference's 3-control-point
+    # quadratic b-spline (primitive_triangle_bspline.cc:40-44:
+    # p(t) = (1-t)^2 p0 + 2t(1-t) p1 + t^2 p2). None when static.
     vertices_t1: Optional[Array] = None   # f32[V, 3]
+    vertices_t2: Optional[Array] = None   # f32[V, 3] (quadratic only)
     # object-space "original coordinates" per vertex (reference
     # addVertexWithOrco / SurfacePoint::orco, surface.h:54-150); None when no
     # mesh streamed them — SurfacePoint then falls back to untransformed
@@ -109,7 +111,8 @@ class Geometry:
     # (ADVICE r1); None when the scene is too large for the VMEM-resident
     # kernel or has no faces.
     tri_table: Optional[Array] = None     # f32[C, 16]
-    tri_table_t1: Optional[Array] = None  # f32[C, 16] motion keyframe t=1
+    tri_table_t1: Optional[Array] = None  # f32[C, 16] motion keyframe
+    tri_table_t2: Optional[Array] = None  # f32[C, 16] (quadratic bspline)
     num_faces: int = struct.field(pytree_node=False, default=0)
     num_spheres: int = struct.field(pytree_node=False, default=0)
     has_motion: bool = struct.field(pytree_node=False, default=False)
@@ -276,7 +279,13 @@ class TexturePool:
     Image texture t occupies texels [img_offset[t], img_offset[t]+W*H) per mip
     level, row-major; mip level l of texture t starts at mip_offset[t, l].
     """
-    texel_pool: Array          # f32[T_total, 4] rgba linear
+    # texel storage dtype implements the reference's image_optimization
+    # levels (include/image/image.h:47-48): "none" -> f32, "optimized" ->
+    # f16 (half RAM), "compressed" -> u8 quantized with per-texture scale
+    # (quarter RAM). The weakest optimization requested by any image
+    # texture wins so nothing is stored below its requested precision.
+    texel_pool: Array          # f32|f16|u8[T_total, 4] rgba linear
+    texel_scale: Array         # f32[T] dequant scale (1.0 unless u8 pool)
     img_offset: Array          # i32[T] base offset of mip 0
     img_width: Array           # i32[T]
     img_height: Array          # i32[T]

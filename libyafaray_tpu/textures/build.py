@@ -56,6 +56,7 @@ def build_pool(builder) -> TexturePool:
     names = builder.texture_order
     n = len(names)
     texels = [np.zeros((1, 4), np.float32)]
+    opt_req = []   # per-image-texture image_optimization requests
     off = 1
     img_offset = np.zeros((n,), np.int32)
     img_w = np.zeros((n,), np.int32)
@@ -207,6 +208,9 @@ def build_pool(builder) -> TexturePool:
                     [np.clip(img[..., :3], 0, None) ** gamma, img[..., 3:]], -1)
             if pm.get_bool("rot90", False):
                 img = np.rot90(img, axes=(0, 1)).copy()
+            opt = pm.get_string("image_optimization", "none")
+            opt_req.append(opt if opt in ("none", "optimized", "compressed")
+                           else "none")
             mips = _mip_chain(img.astype(np.float32))
             img_offset[i] = off
             img_h[i], img_w[i] = img.shape[:2]
@@ -228,8 +232,28 @@ def build_pool(builder) -> TexturePool:
             interp[i] = _INTERP.get(pm.get_string("interpolate", "bilinear"), 1)
             extend[i] = _EXTEND.get(pm.get_string("clipping", "repeat"), 0)
 
+    # image_optimization levels (reference image.h:47-48): pick the pool
+    # dtype as the HIGHEST precision requested by any image texture
+    texel_np = np.concatenate(texels, axis=0)
+    texel_scale = np.ones((max(n, 1),), np.float32)
+    if opt_req and all(o == "compressed" for o in opt_req):
+        # u8 quantization with per-texture scale (covers HDR inputs)
+        for i in range(n):
+            if img_offset[i] < 0 or num_mips[i] == 0:
+                continue
+            end = (img_offset[i] + sum(
+                max(1, img_h[i] >> l) * max(1, img_w[i] >> l)
+                for l in range(num_mips[i])))
+            sl = texel_np[img_offset[i]:end]
+            sc = max(1.0, float(sl.max())) if sl.size else 1.0
+            texel_scale[i] = sc
+            texel_np[img_offset[i]:end] = np.clip(sl / sc, 0.0, 1.0)
+        texel_np = np.round(texel_np * 255.0).astype(np.uint8)
+    elif opt_req and all(o in ("optimized", "compressed") for o in opt_req):
+        texel_np = texel_np.astype(np.float16)
     pool = TexturePool(
-        texel_pool=jnp.asarray(np.concatenate(texels, axis=0)),
+        texel_pool=jnp.asarray(texel_np),
+        texel_scale=jnp.asarray(texel_scale),
         img_offset=jnp.asarray(img_offset), img_width=jnp.asarray(img_w),
         img_height=jnp.asarray(img_h), mip_offsets=jnp.asarray(mip_offsets),
         num_mips=jnp.asarray(num_mips), tex_type=jnp.asarray(tex_type),

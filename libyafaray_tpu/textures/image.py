@@ -42,6 +42,11 @@ def _fetch(pool: TexturePool, base: Array, w: Array, h: Array,
     yw, in_y = _wrap(yi, h, extend, my)
     inside = in_x & in_y
     texel = pool.texel_pool[base + yw * w + xw]
+    if texel.dtype == jnp.uint8:
+        # compressed pool: dequantize (scale applied by the caller per-tex)
+        texel = texel.astype(jnp.float32) * (1.0 / 255.0)
+    elif texel.dtype != jnp.float32:
+        texel = texel.astype(jnp.float32)   # optimized (f16) pool
     clip = extend == 2
     return jnp.where((clip & ~inside)[..., None], 0.0, texel)
 
@@ -201,4 +206,7 @@ def sample_image(pool: TexturePool, tex_id: Array, uv: Array,
                + jnp.floor(v).astype(jnp.int32)) % 2)
     checker_off = (extend == 3) & (parity == 1)
     out = jnp.where(checker_off[..., None], 0.0, out)
+    if pool.texel_pool.dtype == jnp.uint8:
+        # compressed pool: per-texture dequantization scale (HDR-safe)
+        out = out * pool.texel_scale[tex_id][..., None]
     return out

@@ -281,3 +281,55 @@ def test_aov_layer_suite():
     # barycentrics sum to 1 on every hit pixel
     bc = np.asarray(F.resolve(film, "debug-barycentric-uvw"))
     assert np.allclose(bc.sum(-1), 1.0, atol=1e-4)
+
+
+def test_direct_light_matches_analytic_quadrature():
+    """Direct lighting from the cornell area light must match a 400x400
+    numerical quadrature of the rendering equation at probe points. This is
+    the physically-normalized convention: diffuse BRDF = albedo/pi. (The
+    reference's ShinyDiffuse::eval omits the 1/pi —
+    material_shiny_diffuse.cc:197-240 — so its diffuse response is ~pi x
+    brighter; we keep the physical normalization and document the
+    difference in PARITY.md.)"""
+    L = np.array([1.0, 0.9, 0.8]) * 12.0
+    corner = np.array([0.35, 0.35, 0.999])
+    e1 = np.array([0.0, 0.3, 0.0])
+    e2 = np.array([0.3, 0.0, 0.0])
+    n_l = np.array([0.0, 0.0, -1.0])
+
+    def analytic(p, n_s, albedo, m=400):
+        u = (np.arange(m) + 0.5) / m
+        uu, vv = np.meshgrid(u, u, indexing="ij")
+        lp = (corner[None, None] + e1[None, None] * uu[..., None]
+              + e2[None, None] * vv[..., None])
+        to = lp - p[None, None]
+        d2 = (to * to).sum(-1)
+        w = to / np.sqrt(d2)[..., None]
+        cs = (w * n_s[None, None]).sum(-1).clip(0)
+        cl = (-w * n_l[None, None]).sum(-1).clip(0)
+        area = np.linalg.norm(np.cross(e1, e2))
+        return albedo / np.pi * L * (cs * cl / d2).mean() * area
+
+    b = cornell_builder()
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    white = np.array([0.73] * 3)
+    red = np.array([0.65, 0.05, 0.05])
+    # probe points on walls (unoccluded by the boxes) + surface normals
+    probes = [
+        (np.array([0.5, 0.999, 0.85]), np.array([0.0, -1.0, 0.0]), white),
+        (np.array([0.001, 0.5, 0.85]), np.array([1.0, 0.0, 0.0]), red),
+    ]
+    n = 256  # samples per probe for the MC average
+    for p, nrm, albedo in probes:
+        # origin must stay inside the open box so the probe ray reaches the
+        # wall without crossing another wall first
+        o = jnp.tile(jnp.asarray((p + nrm * 0.4)[None], jnp.float32), (n, 1))
+        d = jnp.tile(jnp.asarray((-nrm)[None], jnp.float32), (n, 1))
+        pid = jnp.arange(n, dtype=jnp.uint32)
+        rgb, _, _ = integrate(scene, cfg, o, d, jnp.ones(n, bool), pid,
+                              jnp.uint32(0))
+        got = np.asarray(rgb).mean(axis=0)
+        want = analytic(p, nrm, albedo)
+        np.testing.assert_allclose(got, want, rtol=0.06,
+                                   err_msg=f"probe {p}")

@@ -318,3 +318,126 @@ def test_render_view_fixed_wavelength():
     assert np.isfinite(img_r).all() and np.isfinite(img_b).all()
     assert not np.allclose(img_r, img_s)
     assert not np.allclose(img_r, img_b)
+
+
+def test_motion_blur_quadratic_bspline():
+    """3 time-step vertices follow the reference's quadratic b-spline
+    (primitive_triangle_bspline.cc:40-44): with control points p0, p1, p2
+    the position at t=0.5 is 0.25*p0 + 0.5*p1 + 0.25*p2 — NOT the linear
+    midpoint of p0 and p2."""
+    from libyafaray_tpu.ops import intersect as I
+    import jax.numpy as jnp
+
+    def build(n_steps):
+        b = cornell_builder()
+        b.create_object("mover")
+        b.set_current_material("white")
+        pts = [(0.1, 0.5, 0.4), (0.3, 0.5, 0.4), (0.2, 0.5, 0.7)]
+        for p in pts:
+            b.add_vertex(*p)
+        b.add_triangle(0, 1, 2)
+        if n_steps >= 1:  # control point 1: shifted +0.4 x
+            for (x, y, z) in pts:
+                b.add_vertex_time_step(x + 0.4, y, z)
+        if n_steps >= 2:  # control point 2: back at start
+            for (x, y, z) in pts:
+                b.add_vertex_time_step(x, y, z)
+        return b.compile("cam")
+
+    scene = build(2)
+    assert scene.geom.vertices_t2 is not None
+    # ray at t=0.5 aimed at where the bspline puts the triangle:
+    # p(0.5) = 0.25 p0 + 0.5 (p0+0.4x) + 0.25 p0 = p0 + 0.2x
+    n = 8
+    o = jnp.tile(jnp.asarray([[0.4, -1.0, 0.5]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    tm = jnp.linspace(0.0, 1.0, n)
+    hit = I.closest_hit(scene, o, d, 1e-4, 1e30, time=tm)
+    # the mover triangle sits at y=0.5 (ray t ~ 1.5); the cornell back wall
+    # at y=1 (ray t ~ 2.0). The bspline x-offset is 2t(1-t)*0.4 (max 0.2 at
+    # t=0.5): the probe at x=0.4 (= 0.2 offset over the tri's 0.1..0.3
+    # base) only hits the mover at mid-times.
+    ts = np.asarray(hit.t)
+    # (the probe also crosses a cornell box at t ~ 1.63 behind the mover)
+    hit_mover = np.asarray(hit.valid) & (ts < 1.55)
+    assert hit_mover[3] or hit_mover[4], "triangle should cover probe at mid-time"
+    assert not hit_mover[0] and not hit_mover[-1], \
+        "bspline returns to the start control point at t=0,1"
+
+
+def test_motion_blur_blocks_matches_brute():
+    """The block accelerator's motion path (AABB union over control points,
+    time-interpolated gathers) must agree with the brute-force oracle."""
+    from libyafaray_tpu.ops import intersect as I
+    from libyafaray_tpu.accel.blocks import build_blocks
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    b = cornell_builder()
+    b.create_object("cloud")
+    b.set_current_material("white")
+    f = 120
+    vtx = rng.random((f * 3, 3)).astype(np.float32) * 0.8 + 0.1
+    for p in vtx:
+        b.add_vertex(*p)
+    for i in range(f):
+        b.add_triangle(3 * i, 3 * i + 1, 3 * i + 2)
+    for p in vtx:  # keyframe 1
+        b.add_vertex_time_step(p[0], p[1] + 0.2, p[2])
+    for p in vtx:  # keyframe 2 (quadratic)
+        b.add_vertex_time_step(p[0] - 0.15, p[1], p[2] + 0.1)
+    scene = b.compile("cam")
+    blocks = build_blocks(scene.geom)
+    scene_b = scene.replace(blocks=blocks, accel_kind="blocks")
+
+    n = 512
+    o = rng.random((n, 3)).astype(np.float32) * jnp.asarray([1, 0, 1]) \
+        + jnp.asarray([0.0, -0.5, 0.0])
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    tm = jnp.asarray(rng.random(n).astype(np.float32))
+    hb = I.closest_hit(scene, o, d, 1e-4, 1e30, time=tm)           # brute
+    hk = I.closest_hit(scene_b, o, d, 1e-4, 1e30, time=tm)         # blocks
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hk.valid))
+    v = np.asarray(hb.valid)
+    np.testing.assert_allclose(np.asarray(hb.t)[v], np.asarray(hk.t)[v],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hb.prim)[v],
+                                  np.asarray(hk.prim)[v])
+
+
+def test_render_stats_profiling():
+    """RenderStats accumulates per-pass timings + rays/s and prints a
+    summary (Timer 'rendert' + printRenderStats analogue, SURVEY.md par.5)."""
+    from libyafaray_tpu.utils.profiling import RenderStats
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    stats = RenderStats()
+    render(scene, cfg, spp=3, stats=stats)
+    assert len(stats.pass_times) == 3
+    assert stats.total_rays == 3 * 16 * 16
+    assert stats.rays_per_sec > 0
+    assert stats.get_time("rendert") >= stats.total_time * 0.5
+    s = stats.summary()
+    assert "rays/sec" in s and "passes: 3" in s
+
+
+def test_xml_roundtrip_renders_identically(tmp_path):
+    """export_xml -> load_xml round-trip (yafaray-xml client analogue):
+    the reloaded scene renders pixel-identically."""
+    from libyafaray_tpu.io.export import export_xml
+    from libyafaray_tpu.io.import_xml import load_xml
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    p = str(tmp_path / "scene.xml")
+    export_xml(b, p)
+    b2 = load_xml(p)
+    cfg = make_integrator({"type": "pathtracing", "bounces": 2})
+    i1 = np.asarray(F.resolve(render(b.compile("cam"), cfg, spp=2),
+                              "combined"))
+    i2 = np.asarray(F.resolve(render(b2.compile("cam"), cfg, spp=2),
+                              "combined"))
+    np.testing.assert_array_equal(i1, i2)

@@ -254,3 +254,39 @@ def test_volume_attenuation_grid_matches_direct_march():
     # grid is an interpolated cache: close but not bit-equal
     assert np.abs(i_d - i_c).max() < 0.05
     assert np.abs(i_d - i_c).max() > 0.0  # actually took the cached path
+
+
+def test_image_optimization_levels():
+    """image_optimization (reference include/image/image.h:47-48): the
+    texel pool is stored f32 ("none", default), f16 ("optimized"), or
+    u8-quantized with per-texture HDR scale ("compressed"); sampled values
+    stay within quantization error of the unoptimized pool."""
+    import jax.numpy as jnp
+    from libyafaray_tpu.textures import sample_texture
+    from libyafaray_tpu.textures.build import build_pool
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((16, 16, 4)).astype(np.float32) * 3.0)  # HDR range
+    img[..., 3] = 1.0
+
+    def pool_for(opt):
+        b = SceneBuilder()
+        b.create_texture("t", {"type": "image", "interpolate": "bilinear",
+                               "image_optimization": opt}, image=img)
+        return build_pool(b)
+
+    p_none = pool_for("none")
+    p_opt = pool_for("optimized")
+    p_cmp = pool_for("compressed")
+    assert p_none.texel_pool.dtype == jnp.float32
+    assert p_opt.texel_pool.dtype == jnp.float16
+    assert p_cmp.texel_pool.dtype == jnp.uint8
+
+    uv = jnp.asarray(rng.random((64, 2)).astype(np.float32))
+    tid = jnp.zeros((64,), jnp.int32)
+    from libyafaray_tpu.textures.image import sample_image
+    ref = np.asarray(sample_image(p_none, tid, uv))
+    got_o = np.asarray(sample_image(p_opt, tid, uv))
+    got_c = np.asarray(sample_image(p_cmp, tid, uv))
+    np.testing.assert_allclose(got_o, ref, atol=2e-3)     # f16 mantissa
+    np.testing.assert_allclose(got_c, ref, atol=3.5 / 255.0 * 3.0)  # u8 + scale 3
