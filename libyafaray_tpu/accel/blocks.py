@@ -62,6 +62,13 @@ class BlockAccel:
     # lies inside the control hull, so culling stays conservative.
     geo_t1: Optional[Array] = None   # f32[C, B, 9]
     geo_t2: Optional[Array] = None   # f32[C, B, 9] (quadratic only)
+    # component-major packed table f32[C, 16, B] (morton order) for the
+    # tile-wavefront Pallas traversal (accel/tiles.py): tab[j] is block
+    # j's dense (16, B) slice. Rows: 0-8 v0|v1|v2 components, 9 cam-vis,
+    # 10 shadow-vis, 11 original prim id (-2 padding).
+    tab: Optional[Array] = None      # f32[C, 16, B]
+    tab_t1: Optional[Array] = None   # f32[C, 16, B] motion keyframe verts
+    tab_t2: Optional[Array] = None   # f32[C, 16, B] (quadratic bspline)
     block_size: int = struct.field(pytree_node=False, default=MIN_BLOCK)
     num_blocks: int = struct.field(pytree_node=False, default=0)
 
@@ -139,8 +146,29 @@ def build_blocks(geom: Geometry) -> BlockAccel:
             bmin = jnp.minimum(bmin, m2)
             bmax = jnp.maximum(bmax, x2)
     meta = jnp.stack([prim, vis.astype(jnp.int32)], axis=-1).reshape(c, b, 2)
+
+    vis_cb = vis.reshape(c, b)
+    prim_cb = prim.reshape(c, b)
+
+    def comp_table(g9):
+        """Component-major [C, 16, B] table from a [C, B, 9] vertex table.
+        Each block slice is a dense (16, B) f32 tile — (16, 128)-aligned,
+        so the tiles kernel's block DMA is one contiguous ~8 KB fetch."""
+        g = jnp.where(jnp.isfinite(g9), g9, 0.0)  # padding: degenerate tri
+        tab3 = jnp.zeros((c, 16, b), jnp.float32)
+        tab3 = tab3.at[:, 0:9, :].set(jnp.swapaxes(g, 1, 2))
+        tab3 = tab3.at[:, 9, :].set(((vis_cb & 1) != 0).astype(jnp.float32))
+        tab3 = tab3.at[:, 10, :].set(((vis_cb & 2) != 0).astype(jnp.float32))
+        tab3 = tab3.at[:, 11, :].set(jnp.where(
+            prim_cb >= 0, prim_cb.astype(jnp.float32), -2.0))
+        return tab3
+
+    tab = comp_table(geo)
+    tab_t1 = comp_table(geo_t1) if geo_t1 is not None else None
+    tab_t2 = comp_table(geo_t2) if geo_t2 is not None else None
     return BlockAccel(geo=geo, meta=meta, bmin=bmin, bmax=bmax,
                       geo_t1=geo_t1, geo_t2=geo_t2,
+                      tab=tab, tab_t1=tab_t1, tab_t2=tab_t2,
                       block_size=b, num_blocks=int(c))
 
 
@@ -232,33 +260,56 @@ def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
 
 def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
           vis_bit: int, any_hit: bool, time=None):
-    """Full-wavefront query: pads + reshapes into RAY_CHUNK chunks mapped
-    sequentially (bounds the [chunk, C] key table), then appends the dense
-    sphere pass."""
+    """Full-wavefront query: on TPU (static scenes) the tile-wavefront
+    Pallas kernel (accel/tiles.py) carries traversal; otherwise pads +
+    reshapes into RAY_CHUNK chunks mapped sequentially (bounds the
+    [chunk, C] key table). Either way the dense sphere pass is appended."""
     from ..ops.intersect import intersect_sphere
     n = o.shape[0]
+    tiles_ok = False
+    if time is None and acc.tab is not None:
+        from .tiles import use_tiles
+        tiles_ok = use_tiles()
     chunk = min(RAY_CHUNK, max(256, n))
     pad = (-n) % chunk
     inv_order = None
-    if n > chunk:
-        # Sort rays by (direction octant, origin morton cell) before
-        # chunking: each chunk's while_loop runs only as long as ITS worst
-        # ray needs, so grouping similar rays cuts total iterations (the
-        # TPU analogue of the tile/packet coherence the reference gets for
-        # free from its per-pixel recursion order).
+    if n > chunk or (tiles_ok and n > 256):
+        # Sort rays by (direction octant, coarse origin morton, direction
+        # morton): each chunk/tile then has BOTH a tight origin box and a
+        # tight direction cone, so the tile frustum overlaps few block
+        # AABBs (the TPU analogue of the packet coherence the reference
+        # gets for free from per-pixel recursion order). Direction bits
+        # matter most for pinhole cameras — all origins coincide, and
+        # without them a tile is a raster run spanning the full FOV in x.
         smin = jnp.min(acc.bmin, axis=0)
         sinv = 1.0 / jnp.maximum(jnp.max(acc.bmax, axis=0) - smin, 1e-12)
         rel = jnp.clip((o - smin) * sinv, 0.0, 1.0)
-        okey = morton3d(rel) >> jnp.uint32(9)           # 21 bits
+        okey = morton3d(rel) >> jnp.uint32(18)          # top 12 bits (16^3)
+        dkey = morton3d(0.5 * (d + 1.0)) >> jnp.uint32(15)   # 15 bits (32^3)
         oct_ = ((d[:, 0] >= 0).astype(jnp.uint32)
                 | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
                 | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
-        order = jnp.argsort((oct_ << jnp.uint32(21)) | okey).astype(jnp.int32)
+        order = jnp.argsort((oct_ << jnp.uint32(27)) | (okey << jnp.uint32(15))
+                            | dkey).astype(jnp.int32)
         inv_order = jnp.argsort(order).astype(jnp.int32)
         o, d = o[order], d[order]
         t_min, t_max, exclude = t_min[order], t_max[order], exclude[order]
         if time is not None:
             time = time[order]
+    if tiles_ok:
+        from .tiles import tiles_traverse
+        bt, bp, bu, bv = tiles_traverse(
+            acc.tab, acc.bmin, acc.bmax, o, d, t_min, t_max, exclude,
+            shadow=(vis_bit == 2), any_hit=any_hit)
+        buv = jnp.stack([bu, bv], axis=-1)
+        if inv_order is not None:
+            bt, bp, buv = bt[inv_order], bp[inv_order], buv[inv_order]
+            o, d = o[inv_order], d[inv_order]
+            t_min, t_max, exclude = (t_min[inv_order], t_max[inv_order],
+                                     exclude[inv_order])
+        return _sphere_pass(geom, o, d, t_min, t_max, exclude, vis_bit,
+                            bt, bp, buv)
+
     def padded(x, fill):
         return jnp.concatenate(
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
@@ -291,9 +342,18 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         t_min, t_max, exclude = (t_min[inv_order], t_max[inv_order],
                                  exclude[inv_order])
 
-    # analytic spheres: dense pass (few per scene)
+    return _sphere_pass(geom, o, d, t_min, t_max, exclude, vis_bit,
+                        bt, bp, buv)
+
+
+def _sphere_pass(geom: Geometry, o, d, t_min, t_max, exclude, vis_bit: int,
+                 bt, bp, buv):
+    """Dense analytic-sphere pass appended after block traversal (scenes
+    carry few spheres; same treatment as the brute path)."""
+    from ..ops.intersect import intersect_sphere
     s = geom.num_spheres
     if s > 0:
+        n = o.shape[0]
         best_t = jnp.where(bp >= 0, bt, t_max)
         hit, t = intersect_sphere(
             o[:, None, :], d[:, None, :], geom.sph_center[None],
