@@ -18,6 +18,7 @@ from ..materials import bsdf as B
 from ..math import vec
 from ..ops import intersect as I
 from ..ops import surface as S
+from .. import scene_types as ST
 from ..scene_types import SceneData
 from .. import lights as L
 from .. import sampler
@@ -95,6 +96,16 @@ def emitted_radiance(scene: SceneData, sp, wo: Array) -> Array:
     front = vec.dot(wo, sp.ng) > 0.0
     dbl = (lt.flags[li] & L.FLAG_DOUBLE_SIDED) != 0
     light_rad = jnp.where((front | dbl)[..., None], lt.color[li], 0.0)
+    if L._has(lt, ST.LIGHT_BGPORTAL):
+        # a BSDF ray hitting a portal face sees the environment behind it
+        # times the portal power, front side only
+        # (light_background_portal.cc BackgroundPortalLight::intersect)
+        from .. import backgrounds as BG
+        m_port = lt.light_type[li] == ST.LIGHT_BGPORTAL
+        bg_rad = BG.eval_background(scene, -wo) * lt.color[li]
+        light_rad = jnp.where(m_port[..., None],
+                              jnp.where(front[..., None], bg_rad, 0.0),
+                              light_rad)
     mat_emit = B.emit(scene, sp, wo)
     return jnp.where(from_light[..., None], light_rad, mat_emit)
 

@@ -24,8 +24,9 @@ from flax import struct
 from .. import params as P
 from ..math import vec
 from ..scene_types import (
-    LIGHT_AREA, LIGHT_BACKGROUND, LIGHT_DIRECTIONAL, LIGHT_IES, LIGHT_MESH,
-    LIGHT_POINT, LIGHT_SPHERE, LIGHT_SPOT, LIGHT_SUN, LightTable, SceneData,
+    LIGHT_AREA, LIGHT_BACKGROUND, LIGHT_BGPORTAL, LIGHT_DIRECTIONAL,
+    LIGHT_IES, LIGHT_MESH, LIGHT_POINT, LIGHT_SPHERE, LIGHT_SPOT, LIGHT_SUN,
+    LightTable, SceneData,
 )
 
 Array = jax.Array
@@ -82,6 +83,39 @@ def _has(lt: LightTable, ty: int) -> bool:
     """Trace-time presence check: light families absent from the scene are
     never traced (present_types is a static field; empty = unknown)."""
     return (not lt.present_types) or (ty in lt.present_types)
+
+
+def sample_light_tri(lt: LightTable, num_faces: int, li: Array, u1: Array):
+    """Area-CDF triangle pick within light li's face range [tri_start,
+    tri_start+cnt) — the Pdf1D::dSample of light_object_light.cc /
+    light_background_portal.cc sampleSurface. Bisection over the per-face
+    normalized cumulative areas; uniform-AREA density 1/total_area, so the
+    MIS pdf needs no per-triangle term. Returns (tri index, rescaled u1)."""
+    start = lt.tri_start[li]
+    cnt = jnp.maximum(lt.tri_count[li], 1)
+    if lt.tri_cdf is None:   # no mesh lights compiled; uniform pick fallback
+        x = u1 * cnt.astype(jnp.float32)
+        tri = start + jnp.clip(x.astype(jnp.int32), 0, cnt - 1)
+        return tri, x - jnp.floor(x)
+    k = max(1, int(math.ceil(math.log2(max(2, num_faces)))))
+    lo = jnp.zeros_like(start)
+    hi = cnt - 1
+
+    def body(_, st):
+        lo, hi = st
+        mid = (lo + hi) // 2
+        cm = lt.tri_cdf[start + mid]
+        go_hi = u1 > cm
+        return (jnp.where(go_hi, mid + 1, lo),
+                jnp.where(go_hi, hi, mid))
+
+    lo, _ = jax.lax.fori_loop(0, k, body, (lo, hi))
+    idx = jnp.clip(lo, 0, cnt - 1)
+    tri = start + idx
+    c1 = lt.tri_cdf[tri]
+    c0 = jnp.where(idx > 0, lt.tri_cdf[jnp.maximum(tri - 1, 0)], 0.0)
+    u1r = jnp.clip((u1 - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 1.0)
+    return tri, u1r
 
 
 def sample_light(scene: SceneData, li: Array, p: Array, ns: Array,
@@ -190,21 +224,30 @@ def sample_light(scene: SceneData, li: Array, p: Array, ns: Array,
                 + wi_pt * cone_s[..., 2:3])
         pdf_s = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max_s), 1e-9)
         inside = d2 <= r * r
+        # exact shadow-ray length: distance to the sphere surface along the
+        # sampled cone direction (nearer root of |o + t*wi - c| = r), not
+        # the center distance — occluders between surface and center were
+        # mis-shadowed before (reference light_sphere.cc intersects exactly)
+        mm = vec.dot(to_l, wi_s)
+        disc = r * r - (d2 - mm * mm)
+        dist_s = mm - jnp.sqrt(jnp.maximum(disc, 0.0))
         wi = jnp.where(m[..., None], wi_s, wi)
-        dist = jnp.where(m, dist_pt, dist)  # approx: center distance for shadow ray
+        dist = jnp.where(m, jnp.maximum(dist_s, 1e-6), dist)
         pdf = jnp.where(m, pdf_s, pdf)
         rad = jnp.where(m[..., None], col, rad)
         valid = valid & jnp.where(m, ~inside, True)
 
-    # ---- mesh light: uniform triangle pick (light_object_light.cc) ----
-    if scene.geom.num_faces > 0 and _has(lt, LIGHT_MESH):
-        m = ty == LIGHT_MESH
-        cnt = jnp.maximum(lt.tri_count[li], 1)
-        tri_i = lt.tri_start[li] + jnp.clip(
-            (u1 * cnt.astype(jnp.float32)).astype(jnp.int32), 0, cnt - 1)
-        # re-stretch u1 inside the chosen triangle
-        u1r = u1 * cnt.astype(jnp.float32) - jnp.floor(u1 * cnt.astype(jnp.float32))
+    # ---- mesh light / background portal: area-CDF triangle pick
+    #      (light_object_light.cc, light_background_portal.cc) ----
+    has_mesh = scene.geom.num_faces > 0 and _has(lt, LIGHT_MESH)
+    has_portal = scene.geom.num_faces > 0 and _has(lt, LIGHT_BGPORTAL)
+    if has_mesh or has_portal:
+        m_mesh = ty == LIGHT_MESH
+        m_port = ty == LIGHT_BGPORTAL
+        m = (m_mesh | m_port) if (has_mesh and has_portal) else (
+            m_mesh if has_mesh else m_port)
         g = scene.geom
+        tri_i, u1r = sample_light_tri(lt, g.num_faces, li, u1)
         fidx = g.faces[tri_i]
         v0 = g.vertices[fidx[:, 0]]
         v1 = g.vertices[fidx[:, 1]]
@@ -212,20 +255,28 @@ def sample_light(scene: SceneData, li: Array, p: Array, ns: Array,
         b0, b1 = vec.sample_triangle_uniform(u1r, u2)
         lp_m = v0 * b0[..., None] + v1 * b1[..., None] + v2 * (1 - b0 - b1)[..., None]
         nrm = jnp.cross(v1 - v0, v2 - v0)
-        area2 = vec.length(nrm)
-        tri_area = 0.5 * area2
-        n_l = nrm / jnp.maximum(area2, 1e-12)[..., None]
+        n_l = nrm / jnp.maximum(vec.length(nrm), 1e-12)[..., None]
         to_m = lp_m - p
         d2m = jnp.maximum(vec.dot(to_m, to_m), 1e-12)
         dist_m = jnp.sqrt(d2m)
         wi_m = to_m / dist_m[..., None]
-        cos_lm = jnp.abs(vec.dot(-wi_m, n_l))
+        cos_signed = vec.dot(-wi_m, n_l)
+        # portals are single-sided (portal illumSample cos_angle<=0 cull);
+        # mesh lights emit from both faces
+        cos_lm = jnp.where(m_port, cos_signed, jnp.abs(cos_signed)) \
+            if has_portal else jnp.abs(cos_signed)
+        # area-CDF pick => uniform density 1/total_area over the surface
         pdf_m = d2m / jnp.maximum(
-            cnt.astype(jnp.float32) * tri_area * jnp.maximum(cos_lm, 1e-9), 1e-12)
+            lt.area[li] * jnp.maximum(cos_lm, 1e-9), 1e-12)
+        rad_m = col
+        if has_portal:
+            from .. import backgrounds as BG
+            rad_m = jnp.where(m_port[..., None],
+                              BG.eval_background(scene, wi_m) * col, col)
         wi = jnp.where(m[..., None], wi_m, wi)
         dist = jnp.where(m, dist_m, dist)
         pdf = jnp.where(m, pdf_m, pdf)
-        rad = jnp.where(m[..., None], col, rad)
+        rad = jnp.where(m[..., None], rad_m, rad)
         valid = valid & jnp.where(m, cos_lm > 1e-6, True)
 
     # ---- background light (light_background.cc) ----
@@ -271,11 +322,20 @@ def light_pdf_hit(scene: SceneData, light_id: Array, p_hit: Array, n_hit: Array,
             lt.area[light_id] * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
     if _has(lt, LIGHT_MESH):
         m = ty == LIGHT_MESH
-        # uniform-triangle pdf needs the specific triangle's area; approximate
-        # with total light area (exact when triangles are equal-area). Stored
-        # lt.area for mesh lights = sum of tri areas; pdf_area = 1/area_total.
+        # area-CDF sampling (sample_light_tri) has uniform density
+        # 1/total_area over the whole light surface, so this is EXACT for
+        # unequal triangles too (lt.area = sum of tri areas)
         pdf = jnp.where(m, d2 / jnp.maximum(
             lt.area[light_id] * jnp.maximum(cos_l, 1e-9), 1e-12), pdf)
+    if _has(lt, LIGHT_BGPORTAL):
+        # single-sided: zero pdf from behind (portal illumPdf cos_n>0 test)
+        m = ty == LIGHT_BGPORTAL
+        cos_sp = vec.dot(-wi, n_hit)
+        pdf = jnp.where(
+            m, jnp.where(cos_sp > 1e-9,
+                         d2 / jnp.maximum(lt.area[light_id]
+                                          * jnp.maximum(cos_sp, 1e-9), 1e-12),
+                         0.0), pdf)
     if _has(lt, LIGHT_SPHERE):
         m = ty == LIGHT_SPHERE
         c = lt.position[light_id]

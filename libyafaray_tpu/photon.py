@@ -125,13 +125,12 @@ def _emit_photons(scene: SceneData, n: int, seed: int):
         pw = jnp.where(m[..., None], col * (lt.area[li] * jnp.pi)[..., None], pw)
         valid = valid | m
 
-    # mesh light: uniform triangle + cosine hemisphere
+    # mesh light: area-CDF triangle pick + cosine hemisphere
     if scene.geom.num_faces > 0 and _has(lt, LIGHT_MESH):
+        from .lights import sample_light_tri
         m = ty == LIGHT_MESH
-        cnt = jnp.maximum(lt.tri_count[li], 1)
-        tri_i = lt.tri_start[li] + jnp.clip(
-            (u1 * cnt.astype(jnp.float32)).astype(jnp.int32), 0, cnt - 1)
         g = scene.geom
+        tri_i, _ = sample_light_tri(lt, g.num_faces, li, u1)
         fidx = g.faces[tri_i]
         v0 = g.vertices[fidx[:, 0]]
         v1 = g.vertices[fidx[:, 1]]

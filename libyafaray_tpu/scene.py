@@ -693,6 +693,7 @@ class SceneBuilder:
                     tri_count=zi(0), ies_id=zi(-1))
         extra_faces = []
         ies_profiles: List[np.ndarray] = []
+        tri_cdfs: List[tuple] = []   # (face_start, count, normalized cumsum)
 
         for i, (name, pm) in enumerate(specs):
             ty = pm.get_string("type")
@@ -798,13 +799,17 @@ class SceneBuilder:
                     cols["tri_start"][i] = start
                     cols["tri_count"][i] = cnt
                     cols["obj_id"][i] = self.objects[oname].obj_id
-                    # total area for MIS pdf
+                    # total area for MIS pdf + per-triangle area CDF (the
+                    # Pdf1D of light_object_light.cc / the portal's initIs)
                     v = geom_np["vertices"]
                     f = geom_np["faces"][start:start + cnt]
                     e1 = v[f[:, 1]] - v[f[:, 0]]
                     e2 = v[f[:, 2]] - v[f[:, 0]]
-                    cols["area"][i] = float(
-                        0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
+                    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+                    total = float(areas.sum())
+                    cols["area"][i] = total
+                    tri_cdfs.append((start, cnt,
+                                     np.cumsum(areas) / max(total, 1e-30)))
                     geom_np["face_light"][start:start + cnt] = i
                 if not is_portal:
                     # reference net contribution = color*power*area*cos/d^2:
@@ -813,6 +818,11 @@ class SceneBuilder:
                     # extra pi (same file :138,211) that cancels it; with our
                     # standard pdf the stored radiance is col*power
                     cols["color"][i] = col * power
+                else:
+                    # portal radiance = background(wi) * power
+                    # (light_background_portal.cc:145); color stores the
+                    # power multiplier so the generic rad>0 guard passes
+                    cols["color"][i] = power
                 if pm.get_bool("double_sided", False):
                     flags |= FLAG_DOUBLE_SIDED
                 cols["samples"][i] = pm.get_int("samples", 4)
@@ -830,7 +840,15 @@ class SceneBuilder:
         if extra_faces:
             geom_np = self._append_light_quads(geom_np, extra_faces)
 
+        tri_cdf = None
+        if tri_cdfs:
+            cdf_np = np.zeros((len(geom_np["faces"]),), np.float32)
+            for start, cnt, cum in tri_cdfs:
+                cdf_np[start:start + cnt] = cum
+            tri_cdf = jnp.asarray(cdf_np)
+
         lights = LightTable(
+            tri_cdf=tri_cdf,
             num_lights=len(specs), bg_light_idx=bg_light_idx,
             present_types=tuple(sorted(
                 {int(t) for t in cols["light_type"][:len(specs)]})),

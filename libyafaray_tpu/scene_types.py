@@ -209,6 +209,10 @@ class LightTable:
     tri_count: Array        # i32[L]
     ies_id: Array           # i32[L] IES profile index into ies_pool (-1)
     ies_pool: Array         # f32[P, IES_RES] sampled IES candela profiles
+    # per-face normalized cumulative triangle areas within each mesh/portal
+    # light's face range (area-CDF pick, light_object_light.cc Pdf1D);
+    # f32[num_faces] aligned with geom.faces, 0 outside light ranges.
+    tri_cdf: Optional[Array] = None
     num_lights: int = struct.field(pytree_node=False, default=0)
     # background light (importance-sampled env) is flagged by type; its
     # distribution tables live in Background
