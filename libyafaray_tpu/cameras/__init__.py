@@ -186,6 +186,21 @@ def shoot_rays(cam: Camera, px: Array, py: Array, lens_u: Array, lens_v: Array
     raise KeyError(f"camera kind {kind!r}")
 
 
+def raster_jacobian(cam: Camera, d: Array) -> Array:
+    """|d(raster px,py) / d omega| for a unit direction `d` leaving the
+    camera — the measurement importance of light-tracing splats (BDPT
+    t=0 strategies, reference connectPathE). Derivation: the image plane
+    sits at distance `focal` with extent 1 x aspect in screen units and
+    resx x resy in raster units, so d(px,py)/dw = resx*resy*focal^2 /
+    (aspect * cos^3 theta)."""
+    if cam.kind not in ("perspective", "architect"):
+        raise NotImplementedError(
+            f"raster_jacobian for camera kind {cam.kind!r}")
+    cosc = jnp.maximum(vec.dot(d, cam.cam_z), 1e-6)
+    return (jnp.float32(cam.resx * cam.resy) * cam.focal * cam.focal
+            / (jnp.maximum(cam.aspect, 1e-6) * cosc * cosc * cosc))
+
+
 def project(cam: Camera, p: Array):
     """World point -> (px, py, visible) — reference Camera::screenproject,
     needed by bidirectional/light-tracing connections."""

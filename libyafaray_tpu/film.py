@@ -11,7 +11,7 @@ weight+color summation, imagefilm.cc:940-1008).
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,12 @@ LAYER_CHANNELS = {
 class Film:
     weights: Array                  # f32[H, W]
     layers: Dict[str, Array]        # name -> f32[H, W, C]
+    # light-tracing splat accumulator (BDPT t=0 strategies): raw sums of
+    # camera splats + the number of light subpaths traced; resolved as
+    # combined += splat / paths (the reference splats into the film under
+    # a mutex, imagefilm.cc:677-721 — here it's a scatter-add)
+    splat: Optional[Array] = None         # f32[H, W, 3]
+    splat_paths: Optional[Array] = None   # f32[] count of light subpaths
     flt_kind: str = struct.field(pytree_node=False, default="box")
     flt_width: float = struct.field(pytree_node=False, default=1.0)
     base_sampling_offset: int = struct.field(pytree_node=False, default=0)
@@ -97,6 +103,8 @@ def make_film(width: int, height: int, layer_names=("combined",),
         c = LAYER_CHANNELS[name]
         layers[name] = jnp.zeros((height, width, c), jnp.float32)
     return Film(weights=jnp.zeros((height, width), jnp.float32), layers=layers,
+                splat=jnp.zeros((height, width, 3), jnp.float32),
+                splat_paths=jnp.zeros((), jnp.float32),
                 flt_kind=flt_kind, flt_width=float(flt_width),
                 computer_node=computer_node,
                 base_sampling_offset=computer_node * 100_000)
@@ -201,7 +209,28 @@ def resolve(film: Film, layer: str = "combined") -> Array:
             return jnp.asarray(PP.toon(src))
         e = PP.sobel_edges(src, 0.3)
         return jnp.asarray(np.repeat(e[..., None], 3, axis=-1))
-    return film.layers[layer] / w
+    out = film.layers[layer] / w
+    if (layer == "combined" and film.splat is not None
+            and film.splat_paths is not None):
+        # light-tracing splats: mean over traced light subpaths
+        out = out.at[..., :3].add(
+            film.splat / jnp.maximum(film.splat_paths, 1.0))
+    return out
+
+
+def add_splats(film: Film, px: Array, py: Array, rgb: Array,
+               n_paths) -> Film:
+    """Scatter light-tracing camera splats (BDPT t=0 strategies) into the
+    splat accumulator. Unlike add_samples these carry no filter weight —
+    they are normalized by the TOTAL number of light subpaths at resolve."""
+    if film.splat is None:
+        return film
+    h, w = film.height, film.width
+    ix = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 1)
+    return film.replace(
+        splat=film.splat.at[iy, ix].add(rgb),
+        splat_paths=film.splat_paths + jnp.float32(n_paths))
 
 
 def merge(films) -> Film:
@@ -212,6 +241,11 @@ def merge(films) -> Film:
         out = out.replace(
             weights=out.weights + f.weights,
             layers={k: out.layers[k] + f.layers[k] for k in out.layers},
+            splat=(out.splat + f.splat if out.splat is not None
+                   and f.splat is not None else out.splat),
+            splat_paths=(out.splat_paths + f.splat_paths
+                         if out.splat_paths is not None
+                         and f.splat_paths is not None else out.splat_paths),
         )
     return out
 
@@ -222,6 +256,10 @@ def psum_merge(film: Film, axis_name: str) -> Film:
     return film.replace(
         weights=jax.lax.psum(film.weights, axis_name),
         layers={k: jax.lax.psum(v, axis_name) for k, v in film.layers.items()},
+        splat=(jax.lax.psum(film.splat, axis_name)
+               if film.splat is not None else None),
+        splat_paths=(jax.lax.psum(film.splat_paths, axis_name)
+                     if film.splat_paths is not None else None),
     )
 
 
@@ -229,6 +267,9 @@ def psum_merge(film: Film, axis_name: str) -> Film:
 
 def save_film(film: Film, path: str, sampling_offset: int = 0) -> None:
     arrs = {"__weights__": np.asarray(film.weights)}
+    if film.splat is not None:
+        arrs["__splat__"] = np.asarray(film.splat)
+        arrs["__splat_paths__"] = np.asarray(film.splat_paths)
     for k, v in film.layers.items():
         arrs[f"layer.{k}"] = np.asarray(v)
     np.savez_compressed(
@@ -247,6 +288,10 @@ def load_film(path: str) -> Tuple[Film, int]:
         if k.startswith("layer."):
             layers[k[len("layer."):]] = jnp.asarray(data[k])
     film = Film(weights=jnp.asarray(data["__weights__"]), layers=layers,
+                splat=(jnp.asarray(data["__splat__"])
+                       if "__splat__" in data.files else None),
+                splat_paths=(jnp.asarray(data["__splat_paths__"])
+                             if "__splat_paths__" in data.files else None),
                 flt_kind=flt_kind, flt_width=float(flt_width),
                 computer_node=int(data["__node__"]))
     return film, int(data["__sampling_offset__"])

@@ -183,19 +183,16 @@ def _emit_origin(scene: SceneData, pid: Array, sid: Array) -> _LightOrigin:
     has_n = has_n | m
     valid = valid | m
 
-    # mesh light: uniform triangle pick + cosine direction
+    # mesh light: area-CDF triangle pick + cosine direction
     if scene.geom.num_faces > 0:
+        from ..lights import sample_light_tri
         m = ty == LIGHT_MESH
-        cnt = jnp.maximum(lt.tri_count[li], 1)
-        tri_i = lt.tri_start[li] + jnp.clip(
-            (u1 * cnt.astype(jnp.float32)).astype(jnp.int32), 0, cnt - 1)
         g = scene.geom
+        tri_i, u1r = sample_light_tri(lt, g.num_faces, li, u1)
         fidx = g.faces[tri_i]
         v0 = g.vertices[fidx[:, 0]]
         v1 = g.vertices[fidx[:, 1]]
         v2 = g.vertices[fidx[:, 2]]
-        u1r = u1 * cnt.astype(jnp.float32)
-        u1r = u1r - jnp.floor(u1r)
         b0, b1 = vec.sample_triangle_uniform(u1r, u2)
         lp_m = (v0 * b0[..., None] + v1 * b1[..., None]
                 + v2 * (1 - b0 - b1)[..., None])
@@ -310,10 +307,20 @@ def _walk_eye(scene, cfg, o, d, valid, pid, sid, max_t: int):
         wo = -d
         d2p = jnp.maximum(vec.length_sq(sp.p - o), _EPS_PDF)
         cos_here = jnp.abs(vec.dot(wo, sp.n))
-        pdf_fwd = jnp.where(
-            depth == 0, jnp.ones((n,), jnp.float32),
-            _to_area(prev_pdf_sa, d2p, cos_here))
-        pdf_fwd = jnp.where(prev_delta & (depth > 0), 0.0, pdf_fwd)
+        if depth == 0:
+            # camera area pdf of z_1 (raster density is 1 sample per unit
+            # raster area; J converts to solid angle) — the fwd pdf the
+            # t'=0 light-tracing alternative competes against
+            if scene.camera is not None and scene.camera.kind in (
+                    "perspective", "architect"):
+                from ..cameras import raster_jacobian
+                jac = raster_jacobian(scene.camera, d)
+                pdf_fwd = _to_area(jac, d2p, cos_here)
+            else:
+                pdf_fwd = jnp.ones((n,), jnp.float32)
+        else:
+            pdf_fwd = _to_area(prev_pdf_sa, d2p, cos_here)
+            pdf_fwd = jnp.where(prev_delta, 0.0, pdf_fwd)
         verts.append(_Vertex(
             sp=sp, wo=wo, beta=beta, pdf_fwd=pdf_fwd,
             pdf_rev=jnp.zeros((n,), jnp.float32),
@@ -432,20 +439,31 @@ def _walk_light(scene, cfg, pid, sid, max_s: int):
 def _mis_weight(eye: List[_Vertex], lv: List[_Vertex], org: _LightOrigin,
                 pick: float, t: int, s: int,
                 rev_zt: Array, rev_ztm1: Array,
-                rev_ys: Array, rev_ysm1: Array) -> Array:
+                rev_ys: Array, rev_ysm1: Array,
+                t0_ok=None, conn_zt=None) -> Array:
     """Power-heuristic (beta=2) MIS weight of strategy (s, t) given the
     per-connection endpoint reverse pdfs:
       rev_zt    area pdf of z_t generated from the light side
       rev_ztm1  area pdf of z_{t-1} generated from z_t (via connection dir)
-      rev_ys    area pdf of y_{s-1} generated from z_t  (s >= 1)
+      rev_ys    area pdf of y_{s-1} generated from z_t  (s >= 1; for t=0
+                strategies this is the CAMERA area pdf of y_{s-1})
       rev_ysm1  area pdf of y_{s-2} generated from y_{s-1} (s >= 2)
+      t0_ok     lane mask: the light-tracing strategy t'=0 (splat through
+                the camera, connectPathE analogue) exists for this path
+                (None = disabled; then eye[0].pdf_fwd is never consumed)
 
     Vertex indices are 1-based into `eye` (z_k = eye[k-1]) and 0-based into
-    the light path (y_0 = org, y_k = lv[k-1])."""
-    n = rev_zt.shape[0]
+    the light path (y_0 = org, y_k = lv[k-1]). t=0 encodes the light-tracing
+    strategy itself (no surface eye vertices; eye walk empty)."""
+    n = rev_ys.shape[0]
     sum_ri = jnp.zeros((n,), jnp.float32)
 
     def conn_eye(i):  # connectible flag of z_i (i >= 1); z_0 camera: False
+        if i == t and conn_zt is not None:
+            # s=0 strategies: z_t is the LIGHT vertex; as an alternative-
+            # strategy endpoint it needs surface-sampleability (the light
+            # side can generate it by area sampling), not BSDF lobes
+            return conn_zt
         return eye[i - 1].connectible if i >= 1 else jnp.zeros((n,), bool)
 
     def conn_light(i):
@@ -458,17 +476,24 @@ def _mis_weight(eye: List[_Vertex], lv: List[_Vertex], org: _LightOrigin,
             return org.valid
         return lv[i - 1].connectible
 
-    # --- eye-side walk: strategies t' = t-1 .. 1 ---
+    # --- eye-side walk: strategies t' = t-1 .. 0 ---
     # stepping past z_i turns it into a light-side vertex; the hypothetical
     # strategy t'=i-1 is valid when both endpoints of its connection edge
-    # (z_{i-1}, z_i) support non-delta scattering
+    # (z_{i-1}, z_i) support non-delta scattering. The final step (i=1,
+    # strategy t'=0) connects z_1 to the camera: eye[0].pdf_fwd holds the
+    # CAMERA area pdf of z_1 and the strategy exists only when splatting
+    # is enabled for the lane (t0_ok).
     ri = jnp.ones((n,), jnp.float32)
-    for i in range(t, 1, -1):
+    last_i = 1 if t0_ok is not None else 2
+    for i in range(t, last_i - 1, -1):
         rev = rev_zt if i == t else (
             rev_ztm1 if i == t - 1 else eye[i - 1].pdf_rev)
         fwd = eye[i - 1].pdf_fwd
         ri = ri * _remap0(rev) / _remap0(fwd)
-        ok = conn_eye(i - 1) & conn_eye(i)
+        if i == 1:
+            ok = t0_ok & conn_eye(1)
+        else:
+            ok = conn_eye(i - 1) & conn_eye(i)
         sum_ri = sum_ri + jnp.where(ok, ri * ri, 0.0)
 
     # --- light-side walk: strategies s' = s-1 .. 0 ---
@@ -520,6 +545,16 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
     else:
         org, lverts = None, []
 
+    # light-tracing splats (t=0, connectPathE analogue): pinhole
+    # perspective cameras only; DOF lanes are masked out dynamically
+    import os
+    do_splat = (org is not None and scene.camera is not None
+                and scene.camera.kind in ("perspective", "architect")
+                and os.environ.get("YAF_TPU_BDPT_SPLAT", "1") != "0")
+    t0_ok = None
+    if do_splat:
+        t0_ok = jnp.broadcast_to(scene.camera.aperture <= 0.0, (n,))
+
     radiance = jnp.zeros((n, 3), jnp.float32)
 
     # ---- background strategies (same 2-way MIS as the forward tracer) ----
@@ -542,19 +577,27 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
         sp = z.sp
         li = jnp.maximum(sp.light_id, 0)
         emit = common.emitted_radiance(scene, sp, z.wo)
-        if t == 1 or org is None:
+        sampleable = (sp.light_id >= 0) & (
+            _light_pdf_pos_hit(scene, li) > 0.0)
+        if org is None or (t == 1 and t0_ok is None):
+            # without light subpaths (or without the t'=0 splat strategy
+            # for t=1) the emission hit is the only generator of this path
             w = jnp.ones((n,), jnp.float32)
         else:
             # endpoint reverse pdfs for the hypothetical light-side sampling
             rev_zt = _light_pdf_pos_hit(scene, li) * pick
-            # emission direction pdf from the light point toward z_{t-1}
-            cos_l = jnp.abs(vec.dot(z.wo, sp.ng))
-            pdf_dir_l = jnp.maximum(cos_l, 1e-9) / jnp.pi
-            rev_ztm1 = _to_area(pdf_dir_l, z.d2_prev,
-                                jnp.abs(vec.dot(z.wo, eye[t - 2].sp.n)))
+            if t >= 2:
+                # emission direction pdf from the light point toward z_{t-1}
+                cos_l = jnp.abs(vec.dot(z.wo, sp.ng))
+                pdf_dir_l = jnp.maximum(cos_l, 1e-9) / jnp.pi
+                rev_ztm1 = _to_area(pdf_dir_l, z.d2_prev,
+                                    jnp.abs(vec.dot(z.wo, eye[t - 2].sp.n)))
+            else:
+                rev_ztm1 = jnp.zeros((n,), jnp.float32)
             w = _mis_weight(eye, lverts, org, pick, t, 0,
                             rev_zt, rev_ztm1,
-                            jnp.zeros((n,)), jnp.zeros((n,)))
+                            jnp.zeros((n,)), jnp.zeros((n,)), t0_ok=t0_ok,
+                            conn_zt=sampleable)
         # material emission (no light id) keeps weight 1
         w = jnp.where(sp.light_id >= 0, w, 1.0)
         has_emit = z.valid & (jnp.max(emit, -1) > 0)
@@ -664,14 +707,87 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
                 tr = common.trace_shadow(scene, z.sp.p, z.sp.prim, wi, dist,
                                          cfg.transparent_shadows)
                 w = _mis_weight(eye, lverts, org, pick, t, s,
-                                rev_zt, rev_ztm1, rev_ys, rev_ysm1)
+                                rev_zt, rev_ztm1, rev_ys, rev_ysm1,
+                                t0_ok=t0_ok)
                 radiance = radiance + jnp.where(
                     potential[..., None], partial * tr * w[..., None], 0.0)
+
+    # ---- t = 0: light-tracing splats through the camera (connectPathE,
+    #      include/integrator/surface/integrator_bidirectional.h:57-58) ----
+    splat_px = splat_py = splat_rgb = None
+    if do_splat:
+        from ..cameras import project, raster_jacobian
+        cam = scene.camera
+        sp_px, sp_py, sp_rgb = [], [], []
+        for s in range(1, max_s + 1):
+            if s == 1:
+                y_p = org.p
+                y_prim = jnp.full((n,), -1, jnp.int32)
+                # direct light->camera splat: sampled-surface lights only
+                y_ok = org.valid & ~org.delta_pos & org.has_normal
+            else:
+                y = lverts[s - 2]
+                y_p = y.sp.p
+                y_prim = y.sp.prim
+                y_ok = y.valid & y.connectible
+            to_c = cam.origin - y_p
+            d2 = jnp.maximum(vec.length_sq(to_c), _EPS_PDF)
+            dist = jnp.sqrt(d2)
+            wi = to_c / dist[..., None]
+            pxs, pys, vis = project(cam, y_p)
+            jac = raster_jacobian(cam, -wi)
+            if s == 1:
+                cos_y = vec.dot(wi, org.nrm)
+                dbl = (lt.flags[org.li] & L.FLAG_DOUBLE_SIDED) != 0
+                y_ok = y_ok & ((cos_y > 1e-6) | dbl)
+                cos_y = jnp.abs(cos_y)
+                le = _emit_radiance_toward(scene, org, wi)
+                beta_f = le / jnp.maximum(org.pdf_pos * pick,
+                                          _EPS_PDF)[..., None]
+                rev_ysm1 = jnp.zeros((n,), jnp.float32)
+            else:
+                y = lverts[s - 2]
+                f_y, _ = B.eval_bsdf(scene, y.sp, y.wo, wi)
+                beta_f = y.beta * f_y
+                cos_y = jnp.abs(vec.dot(wi, y.sp.n))
+                # y_{s-2} regenerated from y_{s-1} with camera-side incoming
+                _, rev_sa_y = B.eval_bsdf(scene, y.sp, wi, y.wo)
+                if s == 2:
+                    rev_ysm1 = _to_area(
+                        rev_sa_y, y.d2_prev,
+                        jnp.where(org.has_normal,
+                                  jnp.abs(vec.dot(y.wo, org.nrm)), 1.0))
+                else:
+                    rev_ysm1 = _to_area(rev_sa_y, y.d2_prev,
+                                        jnp.abs(vec.dot(y.wo,
+                                                        lverts[s - 3].sp.n)))
+            # camera area pdf of y_{s-1} (the competing forward strategy)
+            rev_ys = _to_area(jac, d2, cos_y)
+            contrib = beta_f * (cos_y / d2 * jac)[..., None]
+            potential = (y_ok & vis & t0_ok
+                         & (jnp.max(contrib, -1) > 0.0))
+            tr = common.trace_shadow(scene, y_p, y_prim, wi, dist,
+                                     cfg.transparent_shadows)
+            w = _mis_weight(eye, lverts, org, pick, 0, s,
+                            jnp.zeros((n,)), jnp.zeros((n,)),
+                            rev_ys, rev_ysm1, t0_ok=t0_ok)
+            val = jnp.where(potential[..., None], contrib * tr
+                            * w[..., None], 0.0)
+            sp_px.append(pxs)
+            sp_py.append(pys)
+            sp_rgb.append(val)
+        splat_px = jnp.concatenate(sp_px)
+        splat_py = jnp.concatenate(sp_py)
+        splat_rgb = jnp.concatenate(sp_rgb)
 
     # ---- AOVs + volumes (same wrap-up as the forward tracer) ----
     from .mc import _first_hit_layers
     aux = _first_hit_layers(scene, cfg, first_sp, ray_d) if first_sp is not \
         None else {}
+    if splat_px is not None:
+        aux["splat_px"] = splat_px
+        aux["splat_py"] = splat_py
+        aux["splat_rgb"] = splat_rgb
     if (scene.volumes is not None or cfg.vol_kind == "sky") \
             and cfg.vol_kind != "none":
         from .volume import apply_volumetric

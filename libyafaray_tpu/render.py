@@ -67,6 +67,11 @@ def render_pass_fn(scene: SceneData, cfg: IntegratorConfig, film: F.Film,
     weight = valid.astype(jnp.float32)
     if resample_mask is not None:
         weight = weight * resample_mask.reshape(-1)
+    # light-tracing splats (BDPT t=0): separate accumulator, normalized by
+    # light-subpath count at resolve rather than by filter weights
+    if "splat_px" in aux:
+        film = F.add_splats(film, aux.pop("splat_px"), aux.pop("splat_py"),
+                            aux.pop("splat_rgb"), n_paths=h * w)
     layer_vals: Dict[str, Array] = {
         "combined": jnp.concatenate([rgb, alpha[..., None]], axis=-1)}
     for name, val in aux.items():

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from libyafaray_tpu import film as F, make_integrator
+from libyafaray_tpu import SceneBuilder, film as F, make_integrator
 from libyafaray_tpu.cameras import shoot_rays
 from libyafaray_tpu.integrators.mc import integrate
 from libyafaray_tpu.render import render
@@ -333,3 +333,50 @@ def test_direct_light_matches_analytic_quadrature():
         want = analytic(p, nrm, albedo)
         np.testing.assert_allclose(got, want, rtol=0.06,
                                    err_msg=f"probe {p}")
+
+
+def test_bdpt_light_tracing_caustic():
+    """Point-light caustic through a glass sphere: the light-tracing (t=0)
+    splat strategies render it; forward PT structurally cannot (the point
+    light is a delta — no BSDF-sampled path can terminate on it through
+    two refractions). Matches the reference's connectLPath/connectPathE
+    capability (include/integrator/surface/integrator_bidirectional.h:57-58).
+    """
+    b = SceneBuilder()
+    b.create_material("floor", {"type": "shinydiffusemat",
+                                "color": (0.7, 0.7, 0.7)})
+    b.create_material("glass", {"type": "glass", "IOR": 1.5,
+                                "filter_color": (1, 1, 1)})
+    b.create_object("floor")
+    b.set_current_material("floor")
+    i0 = b.add_vertex(-2, -2, 0)
+    i1 = b.add_vertex(2, -2, 0)
+    i2 = b.add_vertex(2, 2, 0)
+    i3 = b.add_vertex(-2, 2, 0)
+    b.add_quad(i0, i1, i2, i3)
+    b.create_object("ball", {"type": "sphere", "center": (0, 0, 0.6),
+                             "radius": 0.35})
+    b.set_current_material("glass")
+    b.create_light("lamp", {"type": "pointlight", "from": (0, 0, 2.0),
+                            "color": (1, 1, 1), "power": 8.0})
+    b.create_camera("cam", {"type": "perspective",
+                            "from": (0.0, -2.2, 1.4), "to": (0, 0, 0.15),
+                            "up": (0.0, -2.2, 2.4),
+                            "resx": 24, "resy": 24, "fov": 45.0})
+    b.create_background({"type": "constant", "color": (0, 0, 0)})
+    scene = b.compile("cam")
+
+    imgs = {}
+    for kind in ("pathtracing", "bidirectional"):
+        cfg = make_integrator({"type": kind, "bounces": 4})
+        film = render(scene, cfg, 24, 24, spp=24)
+        imgs[kind] = np.asarray(F.resolve(film, "combined"))[..., :3]
+    # the shadow disc under the sphere contains the caustic focus; compare
+    # the brightest value there
+    pt = imgs["pathtracing"]
+    bd = imgs["bidirectional"]
+    assert np.isfinite(bd).all()
+    caustic_bd = bd[8:20, 8:16].max()
+    caustic_pt = pt[8:20, 8:16].max()
+    assert caustic_bd > 2.0 * max(caustic_pt, 0.02), \
+        f"no caustic from light tracing: bd {caustic_bd} pt {caustic_pt}"
