@@ -1,22 +1,31 @@
-"""Benchmark: rays/sec/chip, forward+backward, Cornell path tracing.
+"""Benchmark: rays/sec/chip across the BASELINE.md configs.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Measures the flagship wavefront path tracer (NEE+MIS, 4 bounces, RR) on the
-default backend (real TPU under the driver). Each timed step renders one
+Headline (value/vs_baseline): the flagship wavefront path tracer on the
+Cornell box (NEE+MIS, 4 bounces, RR) — each timed step renders one
 full-resolution sample pass AND computes the gradient of the pass's image
 mean w.r.t. all material diffuse albedos (fwd+bwd, the BASELINE.json
-metric). "Rays" counts camera rays (width*height*spp), the same accounting a
-renderer's "samples" use; path vertices per ray are bounces+1.
+metric). "Rays" counts camera rays (width*height*spp).
+
+`extra` carries the remaining BASELINE.md configs measured fwd-only
+through the public render() loop on the same chip:
+  - bigmesh: config 3 — ~200k-tri textured terrain + env background
+    (the large-scene traversal regime; exercises the tile-wavefront
+    Pallas kernel in accel/tiles.py), with per-kernel device-time
+    attribution from the profiler.
+  - glossy: config 2 — Cornell + glossy box, 4-bounce PT.
+  - volume: config 5 — homogeneous scattering volume + emissive mesh.
 
 The reference (libYafaRay) publishes no numbers (BASELINE.md), so the
 baseline is MEASURED: a C client against the reference library renders the
-same scene with the same integrator settings (BASELINE_MEASURED.json,
+Cornell scene with the same integrator settings (BASELINE_MEASURED.json,
 350,724 rays/s forward-only on the host CPU); vs_baseline = ours / that.
 Note ours additionally includes the backward pass.
 
-Env overrides: BENCH_WIDTH, BENCH_HEIGHT, BENCH_SPP, BENCH_BOUNCES.
+Env overrides: BENCH_WIDTH/HEIGHT/SPP/BOUNCES, BENCH_BUDGET_S (per-config
+time cap), BENCH_MESH_RES, BENCH_CONFIGS (comma list, default all).
 """
 import json
 import os
@@ -39,7 +48,8 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def main():
+def bench_cornell_fwd_bwd(budget_s: float):
+    """Headline: fwd+bwd rays/s on the Cornell PT scene."""
     from libyafaray_tpu import make_integrator
     from libyafaray_tpu.cameras import shoot_rays
     from libyafaray_tpu.integrators.mc import integrate
@@ -92,13 +102,12 @@ def main():
         chunks.append((jnp.asarray(px_all[sl]), jnp.asarray(py_all[sl]),
                        jnp.asarray(pid_all[sl])))
 
-    # warmup / compile
     r, a, g = fwd_bwd_chunk(scene, *chunks[0], jnp.uint32(0))
     r.block_until_ready()
 
     t0 = time.time()
     done_rays = 0
-    deadline = t0 + float(os.environ.get("BENCH_BUDGET_S", 300))
+    deadline = t0 + budget_s
     for s in range(spp):
         for ch in chunks:
             r, a, g = fwd_bwd_chunk(scene, *ch, jnp.uint32(s))
@@ -108,8 +117,107 @@ def main():
             break
     r.block_until_ready()
     dt = time.time() - t0
+    return done_rays / dt, dict(width=width, height=height, bounces=bounces)
 
-    rays_per_sec = done_rays / dt
+
+def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
+                  profile: bool = False):
+    """Forward rays/s through the public render() loop (film scatter-add,
+    adaptive mask off). Returns (rays_per_sec, extras)."""
+    from libyafaray_tpu import make_integrator, film as F
+    from libyafaray_tpu.render import _render_pass_jit
+
+    scene = builder.compile("cam")
+    cfg = make_integrator(cfg_pm)
+    w = scene.camera.resx
+    h = scene.camera.resy
+    film = F.make_film(w, h)
+    # warmup/compile
+    film = _render_pass_jit(scene, cfg, film, jnp.uint32(0), None)
+    film.weights.block_until_ready()
+    t0 = time.time()
+    deadline = t0 + budget_s
+    passes = 0
+    for s in range(1, spp_target + 1):
+        film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), None)
+        passes += 1
+        if s % 2 == 0:
+            film.weights.block_until_ready()
+            if time.time() > deadline:
+                break
+    film.weights.block_until_ready()
+    dt = time.time() - t0
+    extras = {"res": f"{w}x{h}", "passes": passes}
+    if profile:
+        try:
+            import shutil
+            from libyafaray_tpu.utils.profiling import device_op_summary
+            tdir = "/tmp/yaf_bench_trace"
+            shutil.rmtree(tdir, ignore_errors=True)
+            with jax.profiler.trace(tdir):
+                film = _render_pass_jit(scene, cfg, film, jnp.uint32(999),
+                                        None)
+                film.weights.block_until_ready()
+            ops = device_op_summary(tdir, top=6)
+            extras["top_device_ops_ms"] = [
+                [name[:60], round(ms, 2)] for name, ms, _ in ops[:6]]
+        except Exception as exc:  # profiling must never fail the bench
+            extras["profile_error"] = str(exc)[:200]
+    return passes * w * h / dt, extras
+
+
+def main():
+    budget = float(os.environ.get("BENCH_BUDGET_S", 150))
+    configs = os.environ.get("BENCH_CONFIGS",
+                             "cornell,bigmesh,glossy,volume").split(",")
+    extra = {}
+
+    rays_per_sec = 0.0
+    if "cornell" in configs:
+        rays_per_sec, info = bench_cornell_fwd_bwd(budget)
+        extra["cornell_fwd_bwd"] = {"rays_per_sec": round(rays_per_sec, 1),
+                                    **info}
+
+    if "bigmesh" in configs:
+        try:
+            from scenes import bigmesh_builder
+            res = int(os.environ.get("BENCH_MESH_RES", 320))
+            rps, info = _bench_render(
+                bigmesh_builder(res),
+                {"type": "pathtracing", "bounces": 2},
+                budget, spp_target=6, profile=True)
+            ntris = 2 * (res - 1) * (res - 1)
+            extra["bigmesh_203k"] = {"rays_per_sec": round(rps, 1),
+                                     "triangles": ntris, **info}
+        except Exception as exc:
+            extra["bigmesh_203k"] = {"error": str(exc)[:300]}
+
+    if "glossy" in configs:
+        try:
+            from scenes import glossy_cornell_builder
+            b = glossy_cornell_builder()
+            b.cameras["cam"]["resx"] = 512
+            b.cameras["cam"]["resy"] = 512
+            rps, info = _bench_render(
+                b, {"type": "pathtracing", "bounces": 4}, budget,
+                spp_target=16)
+            extra["glossy_cornell"] = {"rays_per_sec": round(rps, 1), **info}
+        except Exception as exc:
+            extra["glossy_cornell"] = {"error": str(exc)[:300]}
+
+    if "volume" in configs:
+        try:
+            from scenes import volume_emissive_builder
+            b = volume_emissive_builder()
+            b.cameras["cam"]["resx"] = 512
+            b.cameras["cam"]["resy"] = 512
+            rps, info = _bench_render(
+                b, {"type": "pathtracing", "bounces": 3}, budget,
+                spp_target=8)
+            extra["volume_emissive"] = {"rays_per_sec": round(rps, 1), **info}
+        except Exception as exc:
+            extra["volume_emissive"] = {"error": str(exc)[:300]}
+
     base = 1.0
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -118,12 +226,15 @@ def main():
     except Exception:
         pass
     print(json.dumps({
-        "metric": f"camera rays/sec/chip fwd+bwd, cornell path tracing "
-                  f"{width}x{height} {bounces}b (of {spp}spp target); "
-                  "baseline = measured reference CPU fwd-only rays/s",
+        "metric": "camera rays/sec/chip fwd+bwd, cornell path tracing "
+                  "1920x1080 4b; baseline = measured reference CPU "
+                  "fwd-only rays/s; extra: fwd-only rays/s for BASELINE.md "
+                  "configs 2 (glossy), 3 (203k-tri mesh + env), 5 (volume + "
+                  "emissive mesh) with per-kernel attribution",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / base, 2),
+        "extra": extra,
     }))
 
 

@@ -85,3 +85,80 @@ def _box(b, origin, size, rot=0.0):
     b.add_quad(p[3], p[0], p[4], p[7])
     b.add_quad(p[4], p[5], p[6], p[7])  # top
     b.add_quad(p[3], p[2], p[1], p[0])  # bottom
+
+
+def bigmesh_builder(res=320, textured=True):
+    """BASELINE.md config 3: ~200k-triangle displaced terrain grid with a
+    textured diffuse material and an environment background (2*(res-1)^2
+    triangles; res=320 -> 203,522)."""
+    b = SceneBuilder()
+    if textured:
+        tex = (np.indices((64, 64)).sum(0) % 16 / 15.0).astype(np.float32)
+        img = np.stack([tex, 0.8 * tex + 0.1, 1.0 - tex], -1)
+        b.create_texture("checker", {"type": "image"}, image=img)
+        b.create_material(
+            "ground",
+            {"type": "shinydiffusemat", "color": (0.6, 0.55, 0.5),
+             "diffuse_shader": "diff"},
+            node_list=[{"name": "diff", "type": "texture_mapper",
+                        "texture": "checker", "texco": "uv"}])
+    else:
+        b.create_material("ground", {"type": "shinydiffusemat",
+                                     "color": (0.6, 0.55, 0.5)})
+    b.create_object("terrain")
+    b.set_current_material("ground")
+    xs = np.linspace(0.0, 4.0, res, dtype=np.float32)
+    ys = np.linspace(0.0, 4.0, res, dtype=np.float32)
+    xx, yy = np.meshgrid(xs, ys, indexing="ij")
+    zz = (0.35 * np.sin(xx * 2.3) * np.cos(yy * 1.7)
+          + 0.12 * np.sin(xx * 9.1 + 1.0) * np.sin(yy * 8.3)
+          + 0.04 * np.sin(xx * 31.0) * np.cos(yy * 29.0)).astype(np.float32)
+    verts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    i = np.arange(res * res).reshape(res, res)
+    a = i[:-1, :-1].ravel(); b2 = i[1:, :-1].ravel()
+    c = i[1:, 1:].ravel(); d2 = i[:-1, 1:].ravel()
+    faces = np.concatenate([np.stack([a, b2, c], -1),
+                            np.stack([a, c, d2], -1)]).astype(np.int32)
+    uvs = np.stack([xx / 4.0, yy / 4.0], axis=-1).reshape(-1, 2) \
+        if textured else None
+    b.add_mesh_arrays(verts, faces,
+                      uvs=uvs.astype(np.float32) if textured else None,
+                      face_uvs=faces if textured else None)
+    b.create_light("sun", {"type": "sunlight", "direction": (0.3, 0.3, 0.8),
+                           "color": (1.0, 1.0, 0.95), "power": 1.0})
+    b.create_camera("cam", {"type": "perspective",
+                            "from": (2.0, -2.5, 2.2), "to": (2.0, 2.0, 0.0),
+                            "up": (2.0, -2.5, 3.2),
+                            "resx": 720, "resy": 720, "fov": 55.0})
+    b.create_background({"type": "constant", "color": (0.3, 0.4, 0.6),
+                         "ibl": True, "ibl_samples": 2})
+    return b
+
+
+def glossy_cornell_builder():
+    """BASELINE.md config 2: Cornell with a glossy box + diffuse walls."""
+    b = cornell_builder(extras=[
+        ("gloss", {"type": "glossy", "color": (0.7, 0.6, 0.3),
+                   "glossy_reflect": 0.8, "exponent": 120.0})])
+    return b
+
+
+def volume_emissive_builder():
+    """BASELINE.md config 5: homogeneous scattering volume + emissive mesh."""
+    b = cornell_builder(white_emit=6.0)
+    b.create_material("emit", {"type": "light_mat", "color": (1.0, 0.7, 0.4),
+                               "power": 4.0})
+    b.create_object("glow")
+    b.set_current_material("emit")
+    i0 = b.add_vertex(0.4, 0.5, 0.35)
+    i1 = b.add_vertex(0.6, 0.5, 0.35)
+    i2 = b.add_vertex(0.5, 0.5, 0.55)
+    b.add_triangle(i0, i1, i2)
+    b.create_light("glowl", {"type": "meshlight", "object_name": "glow",
+                             "color": (1.0, 0.7, 0.4), "power": 4.0,
+                             "samples": 1})
+    b.create_volume_region("fog", {"type": "UniformVolume", "sigma_s": 0.25,
+                            "sigma_a": 0.05, "g": 0.0,
+                            "minX": 0.0, "maxX": 1.0, "minY": 0.0,
+                            "maxY": 1.0, "minZ": 0.0, "maxZ": 1.0})
+    return b
