@@ -69,6 +69,15 @@ class BlockAccel:
     tab: Optional[Array] = None      # f32[C, 16, B]
     tab_t1: Optional[Array] = None   # f32[C, 16, B] motion keyframe verts
     tab_t2: Optional[Array] = None   # f32[C, 16, B] (quadratic bspline)
+    # TRUE instancing (None when the scene has no live instances): the C
+    # VIRTUAL blocks indirect into C_phys PHYSICAL table rows. bmin/bmax
+    # are per-VIRTUAL-block world AABBs; geo/meta/tab rows are physical
+    # (object space for instanced bases) and shared across instances.
+    # Rays are transformed object<-world per block at query time.
+    blk_base: Optional[Array] = None   # i32[C] physical row of block j
+    blk_minv: Optional[Array] = None   # i32[C] row into inv_rows (0 = id)
+    id_delta: Optional[Array] = None   # i32[C] virtual - base prim offset
+    inv_rows: Optional[Array] = None   # f32[K+1, 12] object<-world 3x4
     block_size: int = struct.field(pytree_node=False, default=MIN_BLOCK)
     num_blocks: int = struct.field(pytree_node=False, default=0)
 
@@ -83,15 +92,42 @@ def _pick_block_size(f: int) -> int:
 def build_blocks(geom: Geometry) -> BlockAccel:
     """Morton-sort the triangles and cut them into contiguous blocks.
     Fully on device; the analogue of the reference's threaded kd build
-    (accelerator_kdtree_multi_thread.cc) but embarrassingly parallel."""
+    (accelerator_kdtree_multi_thread.cc) but embarrassingly parallel.
+
+    With true instancing (geom.inst_mat), physical tables cover the base
+    faces plus one morton-blocked copy of each DISTINCT instanced base
+    range; virtual blocks replicate the base blocks per instance with
+    transformed world AABBs — O(base) geometry memory regardless of the
+    instance count (object_instance.h:29-63 analogue)."""
+    if geom.inst_mat is not None:
+        return _build_blocks_instanced(geom)
     f = geom.num_faces
     if f == 0:
         raise ValueError("block accel needs triangles")
     b = _pick_block_size(f)
+    t = _tables_for(geom, None, b)
+    return BlockAccel(geo=t["geo"], meta=t["meta"], bmin=t["bmin"],
+                      bmax=t["bmax"], geo_t1=t["geo_t1"], geo_t2=t["geo_t2"],
+                      tab=t["tab"], tab_t1=t["tab_t1"], tab_t2=t["tab_t2"],
+                      block_size=b, num_blocks=t["c"])
+
+
+def _tables_for(geom: Geometry, face_ids: Optional[Array], b: int) -> dict:
+    """Morton-sorted block tables for a face subset (None = all physical
+    faces). Prim ids in meta/tab are the GLOBAL physical face ids."""
+    if face_ids is None:
+        faces = geom.faces
+        gather_vis = geom.face_vis
+        ids = jnp.arange(faces.shape[0], dtype=jnp.int32)
+    else:
+        ids = jnp.asarray(face_ids, jnp.int32)
+        faces = geom.faces[ids]
+        gather_vis = geom.face_vis[ids]
+    f = faces.shape[0]
     c = (f + b - 1) // b
-    v0 = geom.vertices[geom.faces[:, 0]]
-    v1 = geom.vertices[geom.faces[:, 1]]
-    v2 = geom.vertices[geom.faces[:, 2]]
+    v0 = geom.vertices[faces[:, 0]]
+    v1 = geom.vertices[faces[:, 1]]
+    v2 = geom.vertices[faces[:, 2]]
     tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
     tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
     centroid = 0.5 * (tmin + tmax)
@@ -106,18 +142,18 @@ def build_blocks(geom: Geometry) -> BlockAccel:
             [x[order], jnp.full((pad, 3), jnp.inf, jnp.float32)]) if pad \
             else x[order]
     v0s, v1s, v2s = pad3(v0), pad3(v1), pad3(v2)
-    prim = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)]) \
-        if pad else order
-    vis = jnp.concatenate([geom.face_vis[order],
-                           jnp.zeros((pad,), geom.face_vis.dtype)]) \
-        if pad else geom.face_vis[order]
+    prim = jnp.concatenate([ids[order], jnp.full((pad,), -1, jnp.int32)]) \
+        if pad else ids[order]
+    vis = jnp.concatenate([gather_vis[order],
+                           jnp.zeros((pad,), gather_vis.dtype)]) \
+        if pad else gather_vis[order]
 
     valid = (prim >= 0).reshape(c, b)
 
     def keyframe_tables(verts):
-        k0 = pad3(verts[geom.faces[:, 0]])
-        k1 = pad3(verts[geom.faces[:, 1]])
-        k2 = pad3(verts[geom.faces[:, 2]])
+        k0 = pad3(verts[faces[:, 0]])
+        k1 = pad3(verts[faces[:, 1]])
+        k2 = pad3(verts[faces[:, 2]])
         geo_k = jnp.concatenate([k0, k1, k2], axis=-1).reshape(c, b, 9)
         kmin = jnp.where(valid[..., None],
                          jnp.minimum(jnp.minimum(k0, k1), k2).reshape(c, b, 3),
@@ -166,10 +202,93 @@ def build_blocks(geom: Geometry) -> BlockAccel:
     tab = comp_table(geo)
     tab_t1 = comp_table(geo_t1) if geo_t1 is not None else None
     tab_t2 = comp_table(geo_t2) if geo_t2 is not None else None
-    return BlockAccel(geo=geo, meta=meta, bmin=bmin, bmax=bmax,
-                      geo_t1=geo_t1, geo_t2=geo_t2,
-                      tab=tab, tab_t1=tab_t1, tab_t2=tab_t2,
-                      block_size=b, num_blocks=int(c))
+    return dict(geo=geo, meta=meta, bmin=bmin, bmax=bmax, geo_t1=geo_t1,
+                geo_t2=geo_t2, tab=tab, tab_t1=tab_t1, tab_t2=tab_t2, c=int(c))
+
+
+def _build_blocks_instanced(geom: Geometry) -> BlockAccel:
+    """Physical tables: all base faces + one blocked copy per DISTINCT
+    instanced base range (object space). Virtual blocks: the static blocks
+    plus one replica of each base's blocks per instance, with world AABBs
+    from the transformed base-block AABB corners and the object<-world
+    matrix for ray transformation at query time."""
+    import numpy as np
+    k_inst = geom.inst_face_base.shape[0]
+    f0 = geom.num_base_faces
+    b = _pick_block_size(geom.num_faces)
+    parts = [_tables_for(geom, None, b)] if f0 > 0 else []
+
+    # distinct instanced base ranges
+    base_np = np.asarray(geom.inst_face_base)
+    off_np = np.asarray(geom.inst_face_off)
+    counts = np.diff(off_np)
+    ranges = {}
+    phys_at = parts[0]["c"] if parts else 0
+    for kk in range(k_inst):
+        key = (int(base_np[kk]), int(counts[kk]))
+        if key not in ranges:
+            sub = _tables_for(
+                geom, jnp.arange(key[0], key[0] + key[1], dtype=jnp.int32), b)
+            ranges[key] = (phys_at, sub)
+            phys_at += sub["c"]
+            parts.append(sub)
+
+    def cat(name):
+        vals = [p[name] for p in parts]
+        if any(v is None for v in vals):
+            return None
+        return jnp.concatenate(vals, axis=0)
+
+    geo = cat("geo")
+    meta = cat("meta")
+    tab = cat("tab")
+    geo_t1, geo_t2 = cat("geo_t1"), cat("geo_t2")
+    tab_t1, tab_t2 = cat("tab_t1"), cat("tab_t2")
+    phys_bmin = jnp.concatenate([p["bmin"] for p in parts], axis=0)
+    phys_bmax = jnp.concatenate([p["bmax"] for p in parts], axis=0)
+
+    # virtual block lists
+    c_static = parts[0]["c"] if f0 > 0 else 0
+    blk_base = [np.arange(c_static, dtype=np.int32)]
+    blk_minv = [np.zeros(c_static, np.int32)]
+    id_delta = [np.zeros(c_static, np.int32)]
+    v_bmin = [np.asarray(phys_bmin[:c_static])]
+    v_bmax = [np.asarray(phys_bmax[:c_static])]
+    mats = np.asarray(geom.inst_mat)          # [K, 3, 4]
+    for kk in range(k_inst):
+        key = (int(base_np[kk]), int(counts[kk]))
+        p_at, sub = ranges[key]
+        cb = sub["c"]
+        blk_base.append(np.arange(p_at, p_at + cb, dtype=np.int32))
+        blk_minv.append(np.full(cb, kk + 1, np.int32))
+        id_delta.append(np.full(cb, int(off_np[kk]) - key[0], np.int32))
+        bo = np.asarray(sub["bmin"])
+        bx = np.asarray(sub["bmax"])
+        # world AABB of each block: transform the 8 object-space corners
+        corners = np.stack([
+            np.stack([np.where(m & 1, bx[:, 0], bo[:, 0]),
+                      np.where(m & 2, bx[:, 1], bo[:, 1]),
+                      np.where(m & 4, bx[:, 2], bo[:, 2])], axis=-1)
+            for m in range(8)], axis=1)       # [cb, 8, 3]
+        r = mats[kk, :, :3]
+        tvec = mats[kk, :, 3]
+        wc = corners @ r.T + tvec
+        v_bmin.append(wc.min(axis=1).astype(np.float32))
+        v_bmax.append(wc.max(axis=1).astype(np.float32))
+    inv_np = np.concatenate(
+        [np.eye(3, 4, dtype=np.float32).reshape(1, 12)[:, :12],
+         np.asarray(geom.inst_inv).reshape(k_inst, 12)], axis=0)
+    return BlockAccel(
+        geo=geo, meta=meta,
+        bmin=jnp.asarray(np.concatenate(v_bmin, axis=0)),
+        bmax=jnp.asarray(np.concatenate(v_bmax, axis=0)),
+        geo_t1=geo_t1, geo_t2=geo_t2, tab=tab, tab_t1=tab_t1, tab_t2=tab_t2,
+        blk_base=jnp.asarray(np.concatenate(blk_base)),
+        blk_minv=jnp.asarray(np.concatenate(blk_minv)),
+        id_delta=jnp.asarray(np.concatenate(id_delta)),
+        inv_rows=jnp.asarray(inv_np),
+        block_size=b,
+        num_blocks=int(sum(len(x) for x in blk_base)))
 
 
 def _safe_inv(d: Array) -> Array:
@@ -223,22 +342,33 @@ def _query_chunk(acc: BlockAccel, o, d, t_min, t_max, exclude,
         if any_hit:
             act = act & (best_prim < 0)
         # ONE row-gather per table: [n, b, 9] / [n, b, 2] contiguous slices
-        g = acc.geo[j]
-        m = acc.meta[j]
+        pj = acc.blk_base[j] if acc.blk_base is not None else j
+        g = acc.geo[pj]
+        m = acc.meta[pj]
         if time is not None and acc.geo_t1 is not None:
             tt = time[:, None, None]
-            g1 = acc.geo_t1[j]
+            g1 = acc.geo_t1[pj]
             if acc.geo_t2 is not None:
                 # quadratic b-spline (primitive_triangle_bspline.cc:40-44)
-                g2 = acc.geo_t2[j]
+                g2 = acc.geo_t2[pj]
                 tc = 1.0 - tt
                 g = g * (tc * tc) + g1 * (2.0 * tt * tc) + g2 * (tt * tt)
             else:
                 g = g * (1.0 - tt) + g1 * tt
         gv0, gv1, gv2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
-        hit, t, u, v = moller_trumbore(o[:, None], d[:, None], gv0, gv1, gv2,
-                                       t_min[:, None], best_t[:, None])
+        if acc.inv_rows is not None:
+            # instanced block: transform the ray object<-world; leaving the
+            # direction unnormalized preserves the world t parameterization
+            mv = acc.inv_rows[acc.blk_minv[j]].reshape(-1, 3, 4)
+            oq = jnp.einsum("nij,nj->ni", mv[:, :, :3], o) + mv[:, :, 3]
+            dq = jnp.einsum("nij,nj->ni", mv[:, :, :3], d)
+        else:
+            oq, dq = o, d
+        hit, t, u, v = moller_trumbore(oq[:, None], dq[:, None], gv0, gv1,
+                                       gv2, t_min[:, None], best_t[:, None])
         pid = m[..., 0]
+        if acc.id_delta is not None:
+            pid = jnp.where(pid >= 0, pid + acc.id_delta[j][:, None], pid)
         hit = (hit & ((m[..., 1] & vis_bit) != 0)
                & (pid != exclude[:, None]) & act[:, None])
         t = jnp.where(hit, t, jnp.inf)
@@ -300,6 +430,8 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         from .tiles import tiles_traverse
         bt, bp, bu, bv = tiles_traverse(
             acc.tab, acc.bmin, acc.bmax, o, d, t_min, t_max, exclude,
+            blk_base=acc.blk_base, blk_minv=acc.blk_minv,
+            id_delta=acc.id_delta, inv_rows=acc.inv_rows,
             shadow=(vis_bit == 2), any_hit=any_hit)
         buv = jnp.stack([bu, bv], axis=-1)
         if inv_order is not None:

@@ -42,18 +42,16 @@ SUB = 128          # triangles per dense MT batch inside a block (lanes)
 EPS_DET = 1e-10
 
 
-def _mt_update(tr, rays, carry, vis_col: int):
+def _mt_update(tr, cols, carry, vis_col: int, delta=None):
     """Dense MT of a (16, SUB) triangle slab against the tile; returns
     updated (best_t, best_id, best_u, best_v), each f32[RAY_TILE, 1].
 
     `tr` f32[16, SUB] (comp_table layout: rows 0-8 v0|v1|v2 components,
-    9 cam-vis, 10 shadow-vis, 11 prim id / -2 padding);
-    `rays` f32[RAY_TILE, 16] (cols 0-2 o, 3-5 d, 6 t_min, 7 t_max,
-    8 exclude-prim)."""
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    t_min = rays[:, 6:7]
-    excl = rays[:, 8:9]
+    9 cam-vis, 10 shadow-vis, 11 prim id / -2 padding); `cols` the
+    per-tile ray columns (ox..oz, dx..dz, t_min, excl), each [N, 1] —
+    possibly instance-transformed (then `delta` rebases the physical
+    prim ids to virtual ids)."""
+    ox, oy, oz, dx, dy, dz, t_min, excl = cols
     best_t, best_id, best_u, best_v = carry
 
     ax, ay, az = tr[0:1, :], tr[1:2, :], tr[2:3, :]
@@ -61,6 +59,8 @@ def _mt_update(tr, rays, carry, vis_col: int):
     cx, cy, cz = tr[6:7, :], tr[7:8, :], tr[8:9, :]
     vis = tr[vis_col:vis_col + 1, :]
     pid = tr[11:12, :]
+    if delta is not None:
+        pid = pid + delta
 
     e1x, e1y, e1z = bx - ax, by - ay, bz - az       # [1, SUB]
     e2x, e2y, e2z = cx - ax, cy - ay, cz - az
@@ -100,20 +100,31 @@ def _mt_update(tr, rays, carry, vis_col: int):
 
 def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
                  t_ref, id_ref, u_ref, v_ref, buf0, buf1, sem, *,
-                 block_rows: int, c_pad: int, vis_col: int, any_hit: bool):
+                 block_rows: int, c_pad: int, vis_col: int, any_hit: bool,
+                 inst_refs=None):
     """One ray tile through its front-to-back candidate block list.
 
     Double-buffered: buf0/buf1 alternate as DMA destination vs compute
     source. Slot selection is fully predicated (pl.when / lax.cond on
     static buffer refs) — Mosaic cannot slice a scratch memref by a
-    dynamic leading index."""
+    dynamic leading index.
+
+    `inst_refs` (instanced scenes only) = (blk_base, blk_minv, id_delta,
+    inv_rows) SMEM refs: candidates index VIRTUAL blocks that indirect to
+    physical tab rows; rays are transformed object<-world per block."""
     cnt = count_ref[0, 0, 0]
     t_max = rays_ref[:, 7:8]
     n_sub = block_rows // SUB
 
+    def phys(jv):
+        if inst_refs is None:
+            return jv
+        return inst_refs[0][0, 0, jv]
+
     def dma(buf_ref, slot_i, ci):
         j = cand_ref[0, 0, jnp.minimum(ci, c_pad - 1)]
-        return pltpu.make_async_copy(tab_ref.at[j], buf_ref, sem.at[slot_i])
+        return pltpu.make_async_copy(tab_ref.at[phys(j)], buf_ref,
+                                     sem.at[slot_i])
 
     @pl.when(cnt > 0)
     def _():
@@ -150,12 +161,39 @@ def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
         def _():
             dma(buf1, 1, c).wait()
 
+        rays = rays_ref[:, :]
+        base_cols = (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3],
+                     rays[:, 3:4], rays[:, 4:5], rays[:, 5:6],
+                     rays[:, 6:7], rays[:, 8:9])
+        delta = None
+        if inst_refs is None:
+            cols = base_cols
+        else:
+            jv = cand_ref[0, 0, jnp.minimum(c, c_pad - 1)]
+            mi = inst_refs[1][0, 0, jv]
+            delta = inst_refs[2][0, 0, jv].astype(jnp.float32)
+            inv = inst_refs[3]
+
+            def xform():
+                ox, oy, oz, dx, dy, dz, tmn, exc = base_cols
+                m = [inv[mi, i] for i in range(12)]
+                oq = (m[0] * ox + m[1] * oy + m[2] * oz + m[3],
+                      m[4] * ox + m[5] * oy + m[6] * oz + m[7],
+                      m[8] * ox + m[9] * oy + m[10] * oz + m[11])
+                dq = (m[0] * dx + m[1] * dy + m[2] * dz,
+                      m[4] * dx + m[5] * dy + m[6] * dz,
+                      m[8] * dx + m[9] * dy + m[10] * dz)
+                return oq + dq + (tmn, exc)
+
+            # static blocks (row 0 = identity) skip the transform math
+            cols = jax.lax.cond(mi > 0, xform, lambda: base_cols)
+
         def sub_body(k, carry):
             tr = jax.lax.cond(
                 is0,
                 lambda: buf0[:, pl.ds(k * SUB, SUB)],
                 lambda: buf1[:, pl.ds(k * SUB, SUB)])
-            return _mt_update(tr, rays_ref[:, :], carry, vis_col)
+            return _mt_update(tr, cols, carry, vis_col, delta=delta)
 
         carry = (best_t, best_id, best_u, best_v)
         if n_sub == 1:
@@ -242,16 +280,21 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
 @functools.partial(jax.jit,
                    static_argnames=("shadow", "any_hit", "interpret"))
 def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
-                   shadow: bool = False, any_hit: bool = False,
-                   interpret: bool = False):
+                   blk_base=None, blk_minv=None, id_delta=None,
+                   inv_rows=None, shadow: bool = False,
+                   any_hit: bool = False, interpret: bool = False):
     """Traverse pre-sorted rays through the block table.
 
-    Args: tab f32[C, 16, B] component-major block slabs (BlockAccel.tab);
-    bmin/bmax f32[C, 3]; o,d f32[N,3] SORTED for coherence (N padded to
-    a RAY_TILE multiple here if needed); t_min/t_max/exclude [N].
+    Args: tab f32[C_phys, 16, B] component-major block slabs
+    (BlockAccel.tab); bmin/bmax f32[C, 3] per VIRTUAL block; o,d f32[N,3]
+    SORTED for coherence (N padded to a RAY_TILE multiple here if
+    needed); t_min/t_max/exclude [N]. For instanced scenes, blk_base /
+    blk_minv / id_delta i32[C] and inv_rows f32[K+1, 12] carry the
+    virtual->physical indirection (BlockAccel docstring).
     Returns (t, prim i32 (-1 miss), u, v) each [N]."""
     n = o.shape[0]
     block_rows = tab.shape[2]
+    instanced = blk_base is not None
     npad = -(-n // RAY_TILE) * RAY_TILE
     if npad != n:
         z3 = jnp.zeros((npad - n, 3), jnp.float32)
@@ -271,29 +314,56 @@ def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
          exclude.astype(jnp.float32)[:, None],
          jnp.zeros((npad, 7), jnp.float32)], axis=1)
 
-    kernel = functools.partial(
-        _tile_kernel, block_rows=block_rows, c_pad=c_pad,
-        vis_col=10 if shadow else 9, any_hit=any_hit)
+    if instanced:
+        def kernel(rays_r, cand_r, ent_r, cnt_r, tab_r, bb_r, bm_r, dl_r,
+                   iv_r, *rest):
+            _tile_kernel(rays_r, cand_r, ent_r, cnt_r, tab_r, *rest,
+                         block_rows=block_rows, c_pad=c_pad,
+                         vis_col=10 if shadow else 9, any_hit=any_hit,
+                         inst_refs=(bb_r, bm_r, dl_r, iv_r))
+    else:
+        kernel = functools.partial(
+            _tile_kernel, block_rows=block_rows, c_pad=c_pad,
+            vis_col=10 if shadow else 9, any_hit=any_hit)
     vec_spec = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     vec_shape = jax.ShapeDtypeStruct((npad, 1), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((RAY_TILE, 16), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        # 3D with a singleton sublane dim: Mosaic requires the last
+        # two block dims be (8,128)-divisible OR equal to the array
+        # dims — (1, c_pad) over a [T, 1, c_pad] array satisfies that
+        pl.BlockSpec((1, 1, c_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, c_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    args = [rays, cand.reshape(t, 1, c_pad), ent.reshape(t, 1, c_pad),
+            count.reshape(t, 1, 1), tab]
+    if instanced:
+        def pad_c(x, fill):
+            cc = x.shape[0]
+            if cc == c_pad:
+                return x.reshape(1, 1, c_pad)
+            return jnp.concatenate(
+                [x, jnp.full((c_pad - cc,), fill, x.dtype)]
+            ).reshape(1, 1, c_pad)
+        k1 = inv_rows.shape[0]
+        smem_row = pl.BlockSpec((1, 1, c_pad), lambda i: (0, 0, 0),
+                                memory_space=pltpu.SMEM)
+        in_specs += [smem_row, smem_row, smem_row,
+                     pl.BlockSpec((k1, 12), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)]
+        args += [pad_c(blk_base, 0), pad_c(blk_minv, 0),
+                 pad_c(id_delta, 0), inv_rows]
     out_t, out_id, out_u, out_v = pl.pallas_call(
         kernel,
         grid=(t,),
-        in_specs=[
-            pl.BlockSpec((RAY_TILE, 16), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            # 3D with a singleton sublane dim: Mosaic requires the last
-            # two block dims be (8,128)-divisible OR equal to the array
-            # dims — (1, c_pad) over a [T, 1, c_pad] array satisfies that
-            pl.BlockSpec((1, 1, c_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=(vec_spec, vec_spec, vec_spec, vec_spec),
         out_shape=(vec_shape, vec_shape, vec_shape, vec_shape),
         scratch_shapes=[
@@ -307,8 +377,7 @@ def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
             + t * 16 * block_rows * 16 * 4,
             transcendentals=0),
         interpret=interpret,
-    )(rays, cand.reshape(t, 1, c_pad), ent.reshape(t, 1, c_pad),
-      count.reshape(t, 1, 1), tab)
+    )(*args)
     return (out_t[:n, 0], out_id[:n, 0].astype(jnp.int32),
             out_u[:n, 0], out_v[:n, 0])
 

@@ -102,6 +102,11 @@ def _brute_closest(geom: Geometry, o: Array, d: Array, t_min: Array,
                    t_max: Array, exclude_prim: Optional[Array] = None,
                    shadow: bool = False,
                    time: Optional[Array] = None) -> Hit:
+    if geom.inst_mat is not None:
+        raise NotImplementedError(
+            "brute-force intersection does not expand TRUE instances; "
+            "instanced scenes compile with the block accelerator "
+            "(set instancing: 'baked' to force geometry duplication)")
     n = o.shape[0]
     vis_bit = 2 if shadow else 1
     best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

@@ -62,10 +62,20 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
     p = ray_o + ray_d * t_safe[..., None]
 
     # --- triangle branch (vectorized, masked) ---
+    # true instancing: virtual face ids resolve to (base face, matrix);
+    # positions transform world<-object, normals by the inverse-transpose
+    # (primitive_instance.cc getGeometricNormal/getSurface analogues)
+    from ..scene_types import (resolve_prim, inst_transform_point,
+                               inst_transform_normal)
+    tri, inst = resolve_prim(g, tri)
     fidx = g.faces[tri]                      # [N,3]
     v0 = g.vertices[fidx[:, 0]]
     v1 = g.vertices[fidx[:, 1]]
     v2 = g.vertices[fidx[:, 2]]
+    if inst is not None:
+        v0 = inst_transform_point(g, inst, v0)
+        v1 = inst_transform_point(g, inst, v1)
+        v2 = inst_transform_point(g, inst, v2)
     e1 = v1 - v0
     e2 = v2 - v0
     ng_tri = vec.normalize(jnp.cross(e1, e2))
@@ -76,6 +86,10 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
     n0 = g.normals[fidx[:, 0]]
     n1 = g.normals[fidx[:, 1]]
     n2 = g.normals[fidx[:, 2]]
+    if inst is not None:
+        n0 = inst_transform_normal(g, inst, n0)
+        n1 = inst_transform_normal(g, inst, n1)
+        n2 = inst_transform_normal(g, inst, n2)
     n_smooth = vec.normalize(w[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2)
     smooth = g.face_smooth[tri]
     n_tri = jnp.where(smooth[:, None], n_smooth, ng_tri)
@@ -109,6 +123,9 @@ def make_surface(scene: SceneData, hit: Hit, ray_o: Array, ray_d: Array
     dp_dv_t = jnp.where(degen[:, None], fb_v, dp_dv_t)
     mat_tri = g.face_mat[tri]
     obj_tri = g.face_obj[tri]
+    if inst is not None and g.inst_obj is not None:
+        obj_tri = jnp.where(inst >= 0, g.inst_obj[jnp.maximum(inst, 0)],
+                            obj_tri)
     light_tri = g.face_light[tri]
 
     if g.num_spheres > 0:

@@ -280,7 +280,13 @@ class SceneBuilder:
         obj.smooth_angle = angle
 
     def add_instance(self, base_name: str, matrix) -> None:
-        self.instances.append((base_name, np.asarray(matrix, np.float32).reshape(4, 4)))
+        """Instance = (base object, matrix [, per-time-step matrices]).
+        `matrix` may be one 4x4 (or flat 16) or a list of them — extra
+        entries are motion-blur shutter time steps (reference
+        addInstanceArray / ObjectInstance time steps)."""
+        m = np.asarray(matrix, np.float32)
+        mats = [mm.reshape(4, 4) for mm in m.reshape(-1, 4, 4)]
+        self.instances.append((base_name, mats))
 
     # ------------------------------------------------------------------
     def compile_view(self, view_name: str) -> SceneData:
@@ -520,8 +526,10 @@ class SceneBuilder:
                 c = obj.sphere_center.astype(np.float32)
                 r = obj.sphere_radius
                 if matrix is not None:
-                    c = (matrix[:3, :3] @ c) + matrix[:3, 3]
-                    r = r * float(np.cbrt(abs(np.linalg.det(matrix[:3, :3])) + 1e-30))
+                    m0 = matrix[0] if isinstance(matrix, (list, tuple)) \
+                        else matrix
+                    c = (m0[:3, :3] @ c) + m0[:3, 3]
+                    r = r * float(np.cbrt(abs(np.linalg.det(m0[:3, :3])) + 1e-30))
                 mat = obj.faces[-1][6] if obj.faces else obj.sphere_mat
                 sph["center"].append(c)
                 sph["radius"].append(r)
@@ -550,9 +558,18 @@ class SceneBuilder:
             else:
                 orco_arr = v.copy()
             if matrix is not None:
-                v = v @ matrix[:3, :3].T + matrix[:3, 3]
-                v1_arr = v1_arr @ matrix[:3, :3].T + matrix[:3, 3]
-                v2_arr = v2_arr @ matrix[:3, :3].T + matrix[:3, 3]
+                # per-time-step matrices: [0] at shutter open; later
+                # entries transform the motion keyframes (instance motion
+                # blur via baking, ObjectInstance time steps)
+                mats = matrix if isinstance(matrix, (list, tuple)) \
+                    else [matrix]
+                m0 = mats[0]
+                m1 = mats[min(1, len(mats) - 1)]
+                m2m = mats[min(2, len(mats) - 1)]
+                v = v @ m0[:3, :3].T + m0[:3, 3]
+                v1_arr = v1_arr @ m1[:3, :3].T + m1[:3, 3]
+                v2_arr = v2_arr @ m2m[:3, :3].T + m2m[:3, 3]
+                matrix = m0   # normals below use the shutter-open matrix
             f = np.asarray([fc[:3] for fc in obj.faces], np.int32)
             fuv = np.asarray([fc[3:6] for fc in obj.faces], np.int32)
             fmat = np.asarray([fc[6] for fc in obj.faces], np.int32)
@@ -595,11 +612,40 @@ class SceneBuilder:
 
         for name in self.object_order:
             emit_mesh(self.objects[name], None)
-        for base, mtx in self.instances:
-            emit_mesh(self.objects[base], mtx)
+
+        # instances: TRUE instancing (virtual faces + per-instance matrix,
+        # O(base) memory — object_instance.h:29-63) for static mesh
+        # instances in block-accelerated scenes; bake (geometry
+        # duplication) for motion instances, spheres/curves, small scenes
+        # (the brute/pallas small-scene paths stay oracle-simple), or when
+        # `instancing: "baked"` is forced.
+        mode = self.render_params.get_string("instancing", "auto")
+        accel_pm = self.render_params.get_string("scene_accelerator", "")
+        nonlocal_motion = [False]
+        inst_faces = sum(
+            len(self.objects[b_].faces) for b_, _ in self.instances
+            if not (self.objects[b_].is_sphere or self.objects[b_].is_curve))
+        small = (f_count + inst_faces) < 2048
+        blocks_ok = accel_pm in (
+            "", "blocks", "yafaray-kdtree-original",
+            "yafaray-kdtree-multi-thread")
+        true_inst: List[Tuple[str, np.ndarray]] = []
+        for base, mats in self.instances:
+            obj = self.objects[base]
+            motion = len(mats) > 1
+            bake = (mode == "baked" or motion or obj.is_sphere
+                    or obj.is_curve or not blocks_ok
+                    or (mode == "auto" and small))
+            if bake:
+                emit_mesh(obj, mats)
+                if motion:
+                    nonlocal_motion[0] = True
+            else:
+                true_inst.append((base, mats[0]))
 
         has_motion = any(
-            self.objects[n].vertices_t1 for n in self.object_order)
+            self.objects[n].vertices_t1 for n in self.object_order) \
+            or nonlocal_motion[0]
         # quadratic b-spline motion: any object streamed a 2nd keyframe
         has_motion2 = has_motion and any(
             self.objects[n].vertices_t2 for n in self.object_order)
@@ -632,23 +678,50 @@ class SceneBuilder:
                 [self.objects[n].visibility for n in self.object_order] or [0],
                 np.int32),
         )
+        if true_inst:
+            k = len(true_inst)
+            mats4 = np.stack([m for _, m in true_inst])          # [K,4,4]
+            inv4 = np.stack([np.linalg.inv(m) for _, m in true_inst])
+            starts = np.asarray(
+                [obj_face_ranges[b_][0] for b_, _ in true_inst], np.int32)
+            counts = np.asarray(
+                [obj_face_ranges[b_][1] for b_, _ in true_inst], np.int32)
+            off = np.concatenate(
+                [[f_count], f_count + np.cumsum(counts)]).astype(np.int32)
+            nrm = np.stack([np.linalg.inv(m[:3, :3]).T
+                            for _, m in true_inst]).astype(np.float32)
+            geom_np["__inst__"] = dict(
+                inst_mat=mats4[:, :3, :].astype(np.float32),
+                inst_inv=inv4[:, :3, :].astype(np.float32),
+                inst_nrm=nrm,
+                inst_face_base=starts,
+                inst_face_off=off,
+                inst_obj=np.asarray(
+                    [self.objects[b_].obj_id for b_, _ in true_inst],
+                    np.int32),
+            )
         return geom_np, obj_face_ranges
 
     def _geometry_to_device(self, g) -> Geometry:
         v1 = g.pop("vertices_t1", None)
         v2 = g.pop("vertices_t2", None)
         orco = g.pop("orcos", None)
+        inst = g.pop("__inst__", None)
+        f0 = int(len(g["faces"]))
+        f_virtual = int(inst["inst_face_off"][-1]) if inst else f0
         geom = Geometry(
-            num_faces=int(len(g["faces"])), num_spheres=int(len(g["sph_radius"])),
+            num_faces=f_virtual, num_base_faces=f0,
+            num_spheres=int(len(g["sph_radius"])),
             vertices_t1=(jnp.asarray(v1) if v1 is not None else None),
             vertices_t2=(jnp.asarray(v2) if v2 is not None else None),
             has_motion=v1 is not None,
             orcos=(jnp.asarray(orco) if orco is not None else None),
+            **({k: jnp.asarray(v) for k, v in inst.items()} if inst else {}),
             **{k: jnp.asarray(v) for k, v in g.items()})
         # Pack the Pallas triangle table once here ("done once at scene
         # compile", ADVICE r1) instead of per intersect call.
         from .ops.intersect import PALLAS_MAX_TRIS
-        if 0 < geom.num_faces <= PALLAS_MAX_TRIS:
+        if 0 < geom.num_faces <= PALLAS_MAX_TRIS and inst is None:
             from .accel.pallas_intersect import pack_tris
             fc = geom.faces
             v = geom.vertices

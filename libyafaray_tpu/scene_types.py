@@ -113,9 +113,58 @@ class Geometry:
     tri_table: Optional[Array] = None     # f32[C, 16]
     tri_table_t1: Optional[Array] = None  # f32[C, 16] motion keyframe
     tri_table_t2: Optional[Array] = None  # f32[C, 16] (quadratic bspline)
+    # TRUE instancing (reference ObjectInstance/PrimitiveInstance,
+    # include/geometry/object/object_instance.h:29-63): per-face arrays
+    # above cover only the F0 = num_base_faces PHYSICAL faces; instances
+    # contribute VIRTUAL face ids in [F0, num_faces) that resolve to
+    # (base face, instance matrix) via resolve_prim(). Geometry memory
+    # stays O(base). None/absent when every instance is baked.
+    inst_mat: Optional[Array] = None        # f32[K, 3, 4] world<-object
+    inst_inv: Optional[Array] = None        # f32[K, 3, 4] object<-world
+    inst_nrm: Optional[Array] = None        # f32[K, 3, 3] inv-transpose rot
+    inst_face_base: Optional[Array] = None  # i32[K] base face range start
+    inst_face_off: Optional[Array] = None   # i32[K+1] virtual offsets,
+                                            # off[0] = F0, cumulative
+    inst_obj: Optional[Array] = None        # i32[K] instance object id
     num_faces: int = struct.field(pytree_node=False, default=0)
     num_spheres: int = struct.field(pytree_node=False, default=0)
     has_motion: bool = struct.field(pytree_node=False, default=False)
+    # physical per-face array length (== num_faces unless true instancing)
+    num_base_faces: int = struct.field(pytree_node=False, default=0)
+
+
+def resolve_prim(geom: "Geometry", prim: Array):
+    """Virtual face id -> (base face id, instance id | -1).
+
+    The analogue of PrimitiveInstance's base-primitive indirection
+    (src/geometry/primitive/primitive_instance.cc) for flat SoA ids."""
+    if geom.inst_mat is None:
+        return prim, None
+    f0 = geom.num_base_faces
+    is_inst = prim >= f0
+    k = jnp.searchsorted(geom.inst_face_off[1:], prim, side="right")
+    k = jnp.clip(k, 0, geom.inst_face_base.shape[0] - 1).astype(jnp.int32)
+    base = jnp.where(
+        is_inst, geom.inst_face_base[k] + prim - geom.inst_face_off[k],
+        prim)
+    inst = jnp.where(is_inst, k, -1)
+    return base, inst
+
+
+def inst_transform_point(geom: "Geometry", inst: Array, p: Array) -> Array:
+    """Apply instance matrix (world <- object) to points where inst >= 0."""
+    m = geom.inst_mat[jnp.maximum(inst, 0)]             # [N, 3, 4]
+    q = jnp.einsum("nij,nj->ni", m[:, :, :3], p) + m[:, :, 3]
+    return jnp.where((inst >= 0)[..., None], q, p)
+
+
+def inst_transform_normal(geom: "Geometry", inst: Array, n: Array) -> Array:
+    """Rotate normals by the instance's inverse-transpose; renormalized."""
+    m = geom.inst_nrm[jnp.maximum(inst, 0)]             # [N, 3, 3]
+    q = jnp.einsum("nij,nj->ni", m, n)
+    q = q / jnp.maximum(
+        jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-20)
+    return jnp.where((inst >= 0)[..., None], q, n)
 
 
 @struct.dataclass

@@ -855,12 +855,15 @@ static bool buildScene(yafaray_Interface_t *yi) {
       }
     }
     for (auto &inst : yi->instances) {
-      /* motion time steps: the scene bakes the shutter-open matrix;
-       * additional steps ride the mesh-level motion path when present */
-      PyObject *mtx = matrixToPy(inst.time_steps.front());
+      /* pass ALL staged time-step matrices: the builder bakes motion
+       * instances into motion keyframes and keeps static instances as
+       * TRUE instances (SceneBuilder.add_instance) */
+      PyObject *mats = PyList_New((Py_ssize_t)inst.time_steps.size());
+      for (size_t k = 0; k < inst.time_steps.size(); ++k)
+        PyList_SET_ITEM(mats, (Py_ssize_t)k, matrixToPy(inst.time_steps[k]));
       PyObject *r = call("add_instance",
-                         Py_BuildValue("(sO)", inst.base.c_str(), mtx));
-      Py_DECREF(mtx);
+                         Py_BuildValue("(sO)", inst.base.c_str(), mats));
+      Py_DECREF(mats);
       if (!r) { fail = true; break; }
       Py_DECREF(r);
     }
