@@ -110,6 +110,129 @@ def _eval_sunsky(ss: SunSky, d: Array) -> Array:
     return jnp.where(below[..., None], 0.0, rgb)
 
 
+@struct.dataclass
+class DarkSky:
+    """Extended Preetham model of the reference DarkSkyBackground
+    (src/background/background_darksky.cc:10-160): altitude shift, a..e
+    Perez variance knobs, sun-normalized prePerez, exposure curve
+    Y -> exp(Y*exp)-1, selectable RGB color space, and night mode."""
+    sun_dir: Array        # f32[3] unit, toward sun (altitude-shifted)
+    theta_s: Array        # f32
+    zenith_Y: Array       # f32 (cd/m^2)
+    zenith_x: Array       # f32
+    zenith_y: Array       # f32
+    perez_Y: Array        # f32[6] (A..E + prePerez norm)
+    perez_x: Array        # f32[6]
+    perez_y: Array        # f32[6]
+    power: Array          # f32 power * bright
+    alt: Array            # f32 altitude shift added to dir.z
+    exposure: Array       # f32 (0 disables the exposure curve)
+    night: bool = struct.field(pytree_node=False, default=False)
+    color_space: str = struct.field(pytree_node=False, default="cie-e")
+
+
+# XYZ -> linear RGB, CIE RGB with equal-energy (E) white — the reference
+# darksky default color space (color_conversion.h CieRgbECs)
+_CIE_E_MAT = np.array([[2.3706743, -0.9000405, -0.4706338],
+                       [-0.5138850, 1.4253036, 0.0885814],
+                       [0.0052982, -0.0146949, 1.0093968]], np.float32)
+
+
+def make_darksky(pm: P.ParamMap) -> DarkSky:
+    sd = np.asarray(pm.get_vector("from", (1.0, 1.0, 1.0)), np.float64)
+    alt = pm.get_float("altitude", 0.0)
+    sd[2] += alt
+    sd = sd / max(np.linalg.norm(sd), 1e-12)
+    turb = pm.get_float("turbidity", 4.0)
+    theta_s = math.acos(max(min(sd[2], 1.0), -1.0))
+    t2, t3 = theta_s * theta_s, theta_s ** 3
+    T = turb
+    T2 = T * T
+    cos_ts = math.cos(theta_s)
+    chi = (4.0 / 9.0 - T / 120.0) * (math.pi - 2.0 * theta_s)
+    zenith_Y = ((4.0453 * T - 4.9710) * math.tan(chi)
+                - 0.2155 * T + 2.4192) * 1000.0
+    zenith_x = ((0.00165 * t3 - 0.00374 * t2 + 0.00209 * theta_s) * T2
+                + (-0.02902 * t3 + 0.06377 * t2 - 0.03202 * theta_s
+                   + 0.00394) * T
+                + (0.11693 * t3 - 0.21196 * t2 + 0.06052 * theta_s + 0.25885))
+    zenith_y = ((0.00275 * t3 - 0.00610 * t2 + 0.00316 * theta_s) * T2
+                + (-0.04214 * t3 + 0.08970 * t2 - 0.04153 * theta_s
+                   + 0.00515) * T
+                + (0.15346 * t3 - 0.26756 * t2 + 0.06669 * theta_s + 0.26688))
+    av = pm.get_float("a_var", 1.0)
+    bv = pm.get_float("b_var", 1.0)
+    cv = pm.get_float("c_var", 1.0)
+    dv = pm.get_float("d_var", 1.0)
+    ev = pm.get_float("e_var", 1.0)
+
+    def pre(c):
+        num = ((1.0 + c[0] * math.exp(c[1]))
+               * (1.0 + c[2] * math.exp(c[3] * theta_s) + c[4] * cos_ts ** 2))
+        return 0.0 if num == 0.0 else 1.0 / num
+
+    perez_Y = [(0.17872 * T - 1.46303) * av, (-0.35540 * T + 0.42749) * bv,
+               (-0.02266 * T + 5.32505) * cv, (0.12064 * T - 2.57705) * dv,
+               (-0.06696 * T + 0.37027) * ev]
+    perez_x = [-0.01925 * T - 0.25922, -0.06651 * T + 0.00081,
+               -0.00041 * T + 0.21247, -0.06409 * T - 0.89887,
+               -0.00325 * T + 0.04517]
+    perez_y = [-0.01669 * T - 0.26078, -0.09495 * T + 0.00921,
+               -0.00792 * T + 0.21023, -0.04405 * T - 1.65369,
+               -0.01092 * T + 0.05291]
+    perez_Y.append(pre(perez_Y))
+    perez_x.append(pre(perez_x))
+    perez_y.append(pre(perez_y))
+    cs = pm.get_string("color_space", "CIE (E)")
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return DarkSky(
+        sun_dir=f32(sd), theta_s=f32(theta_s), zenith_Y=f32(zenith_Y),
+        zenith_x=f32(zenith_x), zenith_y=f32(zenith_y),
+        perez_Y=f32(perez_Y), perez_x=f32(perez_x), perez_y=f32(perez_y),
+        power=f32(pm.get_float("power", 1.0) * pm.get_float("bright", 1.0)),
+        alt=f32(alt), exposure=f32(pm.get_float("exposure", 1.0)),
+        night=pm.get_bool("night", False),
+        color_space="srgb" if cs.startswith("sRGB") else "cie-e")
+
+
+def _eval_darksky(ds: DarkSky, d: Array) -> Array:
+    iw = d + jnp.asarray([0.0, 0.0, 1.0], jnp.float32) * ds.alt
+    iw = iw / jnp.maximum(
+        jnp.sqrt(jnp.sum(iw * iw, -1, keepdims=True)), 1e-12)
+    cos_theta = jnp.maximum(iw[..., 2], 1e-6)
+    cos_gamma = jnp.clip(vec.dot(iw, ds.sun_dir), -1.0, 1.0)
+    cos_gamma2 = cos_gamma * cos_gamma
+    gamma = jnp.arccos(cos_gamma)
+
+    def perez(lam, lvz):
+        num = ((1.0 + lam[0] * jnp.exp(lam[1] / cos_theta))
+               * (1.0 + lam[2] * jnp.exp(lam[3] * gamma)
+                  + lam[4] * cos_gamma2))
+        return lvz * num * lam[5]
+
+    x = perez(ds.perez_x, ds.zenith_x)
+    y = perez(ds.perez_y, ds.zenith_y)
+    Y = perez(ds.perez_Y, ds.zenith_Y) * 6.66666667e-5
+    # exposure curve (color_conversion.h fromxyY2Xyz: Y = e^(Y*exp) - 1)
+    Y = jnp.where(ds.exposure > 0.0,
+                  jnp.exp(Y * ds.exposure) - 1.0, Y)
+    y_safe = jnp.maximum(y, 1e-6)
+    X = x / y_safe * Y
+    Z = (1.0 - x - y) / y_safe * Y
+    xyz = jnp.stack([X, Y, Z], axis=-1)
+    if ds.color_space == "srgb":
+        from .. import color as C
+        rgb = C.xyz_to_linear(xyz)
+    else:
+        rgb = xyz @ jnp.asarray(_CIE_E_MAT).T
+    rgb = jnp.maximum(rgb, 0.0)
+    if ds.night:
+        # night mode keeps a faint blue sky instead of black
+        # (background_darksky.cc getSkyCol night branch)
+        rgb = rgb * jnp.asarray([0.05, 0.05, 0.08], jnp.float32)
+    return rgb * ds.power
+
+
 def eval_background(scene, d: Array, use_ibl_blur: bool = False) -> Array:
     """Background::operator()(dir) for the whole wavefront; `scene` is
     SceneData (needs .background and .textures)."""
@@ -129,7 +252,9 @@ def eval_background(scene, d: Array, use_ibl_blur: bool = False) -> Array:
         ground = (bg.ground_horizon_color
                   + (bg.ground_zenith_color - bg.ground_horizon_color) * below)
         return jnp.where(z >= 0, sky, ground) * bg.power
-    if kind in ("sunsky", "darksky"):
+    if kind == "darksky":
+        return _eval_darksky(bg.sunsky, d)
+    if kind == "sunsky":
         return _eval_sunsky(bg.sunsky, d)
     if kind == "texture":
         from ..textures import sample_env
@@ -152,10 +277,11 @@ def make_background(pm: P.ParamMap, tex_id: int = -1) -> Background:
         return Background(kind="gradient", horizon_color=h, zenith_color=z,
                           ground_horizon_color=gh, ground_zenith_color=gz,
                           power=power)
-    if kind in ("sunsky", "darksky"):
-        ss = make_sunsky(pm, dark=(kind == "darksky"))
-        return Background(kind=kind if kind == "sunsky" else "sunsky", sunsky=ss,
+    if kind == "darksky":
+        return Background(kind="darksky", sunsky=make_darksky(pm),
                           power=power)
+    if kind == "sunsky":
+        return Background(kind="sunsky", sunsky=make_sunsky(pm), power=power)
     if kind in ("textureback", "texture"):
         return Background(kind="texture", tex_id=tex_id,
                           rotation=f32(pm.get_float("rotation", 0.0) * math.pi / 180.0),

@@ -127,7 +127,17 @@ def shoot_rays(cam: Camera, px: Array, py: Array, lens_u: Array, lens_v: Array
     kind = cam.kind
 
     if kind in ("perspective", "architect"):
-        d = cam.cam_z * cam.focal + cam.cam_x * sx[..., None] - cam.cam_y * sy[..., None]
+        if kind == "architect":
+            # vertical-line-preserving (two-point) perspective: the image's
+            # vertical axis is the WORLD up axis, not the tilted camera up
+            # (camera_architect.cc setAxis: vup_ = aspect * (0,0,-1)) —
+            # verticals in the scene stay parallel in the image
+            v_axis = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
+                                                  jnp.float32), (3,))
+        else:
+            v_axis = cam.cam_y
+        d = (cam.cam_z * cam.focal + cam.cam_x * sx[..., None]
+             - v_axis * sy[..., None])
         d = vec.normalize(d)
         o = jnp.broadcast_to(cam.origin, d.shape)
         has_dof = cam.bokeh_kind is not None
@@ -193,7 +203,7 @@ def raster_jacobian(cam: Camera, d: Array) -> Array:
     sits at distance `focal` with extent 1 x aspect in screen units and
     resx x resy in raster units, so d(px,py)/dw = resx*resy*focal^2 /
     (aspect * cos^3 theta)."""
-    if cam.kind not in ("perspective", "architect"):
+    if cam.kind != "perspective":
         raise NotImplementedError(
             f"raster_jacobian for camera kind {cam.kind!r}")
     cosc = jnp.maximum(vec.dot(d, cam.cam_z), 1e-6)
@@ -206,12 +216,28 @@ def project(cam: Camera, p: Array):
     needed by bidirectional/light-tracing connections."""
     rel = p - cam.origin
     z = vec.dot(rel, cam.cam_z)
-    if cam.kind in ("perspective", "architect"):
+    if cam.kind == "perspective":
         x = vec.dot(rel, cam.cam_x) / jnp.maximum(z, 1e-9) * cam.focal
         y = -vec.dot(rel, cam.cam_y) / jnp.maximum(z, 1e-9) * cam.focal
         px = (x + 0.5) * cam.resx
         py = (y / cam.aspect + 0.5) * cam.resy
         vis = (z > 0) & (px >= 0) & (px < cam.resx) & (py >= 0) & (py < cam.resy)
+        return px, py, vis
+    if cam.kind == "architect":
+        # invert dir = s*(cam_z*focal + cam_x*X - ez*Y): solve the 3x3
+        # system (the vertical image axis is world Z, generally NOT
+        # orthogonal to cam_x/cam_z)
+        ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        m = jnp.stack([cam.cam_x, -ez, cam.cam_z * cam.focal],
+                      axis=-1)                      # [3,3] columns
+        coef = rel @ jnp.linalg.inv(m).T            # [N,3] = (a, b, c)
+        c_ = coef[..., 2]
+        x = coef[..., 0] / jnp.where(jnp.abs(c_) > 1e-9, c_, 1e-9)
+        y = coef[..., 1] / jnp.where(jnp.abs(c_) > 1e-9, c_, 1e-9)
+        px = (x + 0.5) * cam.resx
+        py = (y / cam.aspect + 0.5) * cam.resy
+        vis = (c_ > 0) & (px >= 0) & (px < cam.resx) \
+            & (py >= 0) & (py < cam.resy)
         return px, py, vis
     if cam.kind == "orthographic":
         x = vec.dot(rel, cam.cam_x) / cam.ortho_scale

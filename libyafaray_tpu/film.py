@@ -61,6 +61,8 @@ LAYER_CHANNELS = {
     "mat-index-mask": 3,
     "obj-index-mask": 3,
     "diffuse-noshadow": 3,
+    "diffuse-indirect": 3,
+    "glossy-indirect": 3,
     "ao-clay": 3,
     "debug-aa-samples": 1,
     "debug-faces-edges": 3,

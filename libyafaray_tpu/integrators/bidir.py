@@ -311,8 +311,8 @@ def _walk_eye(scene, cfg, o, d, valid, pid, sid, max_t: int):
             # camera area pdf of z_1 (raster density is 1 sample per unit
             # raster area; J converts to solid angle) — the fwd pdf the
             # t'=0 light-tracing alternative competes against
-            if scene.camera is not None and scene.camera.kind in (
-                    "perspective", "architect"):
+            if scene.camera is not None \
+                    and scene.camera.kind == "perspective":
                 from ..cameras import raster_jacobian
                 jac = raster_jacobian(scene.camera, d)
                 pdf_fwd = _to_area(jac, d2p, cos_here)
@@ -549,7 +549,7 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
     # perspective cameras only; DOF lanes are masked out dynamically
     import os
     do_splat = (org is not None and scene.camera is not None
-                and scene.camera.kind in ("perspective", "architect")
+                and scene.camera.kind == "perspective"
                 and os.environ.get("YAF_TPU_BDPT_SPLAT", "1") != "0")
     t0_ok = None
     if do_splat:

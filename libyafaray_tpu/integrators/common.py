@@ -66,9 +66,12 @@ def estimate_one_light(scene: SceneData, sp, wo: Array, li: Array,
                        u1: Array, u2: Array,
                        transparent_shadows: int = 0,
                        pick_pdf: Array | float = 1.0,
-                       time=None) -> Array:
+                       time=None, with_shadow_info: bool = False):
     """One-sample NEE toward light index `li` with MIS against BSDF sampling
-    (areaLightSampleLight analogue). Returns radiance contribution [N,3]."""
+    (areaLightSampleLight analogue). Returns radiance contribution [N,3];
+    with_shadow_info additionally returns the UNSHADOWED contribution (the
+    reference's shadow layer accumulates col_shadow = unoccluded - occluded
+    during doLightEstimation)."""
     ls = L.sample_light(scene, li, sp.p, sp.n, u1, u2)
     cos_s = vec.dot(ls.wi, sp.n)
     # allow transmission through for translucent/transmissive materials:
@@ -82,9 +85,12 @@ def estimate_one_light(scene: SceneData, sp, wo: Array, li: Array,
     tr = jnp.where(no_shadow_test[..., None], 1.0, tr)
     mis_w = jnp.where(ls.is_dirac, 1.0,
                       vec.power_heuristic(ls.pdf * pick_pdf, bsdf_pdf))
-    contrib = (f * ls.radiance * tr
-               * (jnp.abs(cos_s) * mis_w / (ls.pdf * pick_pdf))[..., None])
-    return jnp.where(potential[..., None], contrib, 0.0)
+    base = (f * ls.radiance
+            * (jnp.abs(cos_s) * mis_w / (ls.pdf * pick_pdf))[..., None])
+    contrib = jnp.where(potential[..., None], base * tr, 0.0)
+    if with_shadow_info:
+        return contrib, jnp.where(potential[..., None], base, 0.0)
+    return contrib
 
 
 def emitted_radiance(scene: SceneData, sp, wo: Array) -> Array:

@@ -216,6 +216,18 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     prev_delta = jnp.ones((n,), bool)  # camera rays count as delta for MIS
     prev_p = ray_o
     aux: Dict[str, Array] = {}
+    # accumulated AOV layers (reference layer_definitions.h:36-111; env /
+    # shadow / indirect + first-bounce-lobe splits are accumulated DURING
+    # integration, not derived from the first hit)
+    want_env = "env" in cfg.aov_layers
+    want_ind = any(l_ in cfg.aov_layers for l_ in
+                   ("indirect", "diffuse-indirect", "glossy-indirect"))
+    want_shadow = "shadow" in cfg.aov_layers
+    env_acc = jnp.zeros((n, 3), jnp.float32) if (want_env or want_ind) \
+        else None
+    shadow_acc = jnp.zeros((n, 3), jnp.float32) if want_shadow else None
+    env_d0 = None
+    first_lobe = jnp.full((n,), -1, jnp.int32)
 
     # light pick pdf for the path tracer's uniform pick
     # (estimateOneDirectLight, integrator_montecarlo.cc:70)
@@ -245,8 +257,12 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                                vec.power_heuristic(prev_pdf, bpdf * pick))
         add_bg = (depth > 0) or not cfg.transp_background
         if add_bg:
-            radiance = radiance + jnp.where(
-                escaped[..., None], throughput * bg_rad * bg_mis[..., None], 0.0)
+            bg_add = jnp.where(
+                escaped[..., None], throughput * bg_rad * bg_mis[..., None],
+                0.0)
+            radiance = radiance + bg_add
+            if env_acc is not None:
+                env_acc = env_acc + bg_add
         if depth == 0:
             aux = _first_hit_layers(scene, cfg, sp, d)
             first_hit_t = jnp.where(hit.valid, hit.t, first_hit_t)
@@ -274,9 +290,17 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                     li = jnp.full((n,), li_static, jnp.int32)
                     u1, u2 = sampler.rand2(pixel_id, sample_idx,
                                            depth, 10 + 2 * li_static)
-                    c = common.estimate_one_light(
-                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
-                        time=ray_time)
+                    if want_shadow and depth == 0:
+                        c, c_unsh = common.estimate_one_light(
+                            scene, sp, wo, li, u1, u2,
+                            cfg.transparent_shadows, time=ray_time,
+                            with_shadow_info=True)
+                        shadow_acc = shadow_acc + jnp.where(
+                            alive[..., None], c_unsh - c, 0.0)
+                    else:
+                        c = common.estimate_one_light(
+                            scene, sp, wo, li, u1, u2,
+                            cfg.transparent_shadows, time=ray_time)
                     radiance = radiance + jnp.where(alive[..., None],
                                                     throughput * c, 0.0)
             else:
@@ -284,9 +308,17 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                     sampler.rand4(pixel_id, sample_idx, depth, 10), -1, 0)
                 li = jnp.clip((ul * num_lights).astype(jnp.int32), 0,
                               num_lights - 1)
-                c = common.estimate_one_light(
-                    scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
-                    pick_pdf=1.0 / num_lights, time=ray_time)
+                if want_shadow and depth == 0:
+                    c, c_unsh = common.estimate_one_light(
+                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
+                        pick_pdf=1.0 / num_lights, time=ray_time,
+                        with_shadow_info=True)
+                    shadow_acc = shadow_acc + jnp.where(
+                        alive[..., None], c_unsh - c, 0.0)
+                else:
+                    c = common.estimate_one_light(
+                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
+                        pick_pdf=1.0 / num_lights, time=ray_time)
                 radiance = radiance + jnp.where(alive[..., None],
                                                 throughput * c * num_lights
                                                 * (1.0 / num_lights), 0.0)
@@ -327,6 +359,8 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
             # arrives after the first bounce is attributed to the path's
             # first specular branch (ReflectAll/RefractAll layers)
             radiance_d0 = radiance
+            if env_acc is not None:
+                env_d0 = env_acc
 
         if depth == max_depth - 1:
             break
@@ -339,6 +373,8 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
             transmitted = vec.dot(ms.wi, sp.ng) * vec.dot(wo, sp.ng) < 0.0
             spec0 = alive & ms.valid & ms.is_delta
             path_kind = jnp.where(spec0, jnp.where(transmitted, 2, 1), 0)
+            if ms.lobe is not None:
+                first_lobe = jnp.where(alive & ms.valid, ms.lobe, -1)
         cont = alive & ms.valid
         if direct_only or cfg.no_recursive:
             # only specular/delta continuation (recursiveRaytrace analogue)
@@ -369,6 +405,24 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         d = ms.wi
 
     alpha = jnp.clip(alpha, 0.0, 1.0)
+    if want_env:
+        aux["env"] = env_acc
+    if want_shadow:
+        aux["shadow"] = shadow_acc
+    if want_ind:
+        # indirect = everything added after the first-hit pass, minus the
+        # background share (combined == radiance_d0 + env_after_d0 +
+        # indirect by construction — the layer closure test pins this)
+        env_after_d0 = (env_acc - env_d0) if env_acc is not None else 0.0
+        indirect = radiance - radiance_d0 - env_after_d0
+        if "indirect" in cfg.aov_layers:
+            aux["indirect"] = indirect
+        if "diffuse-indirect" in cfg.aov_layers:
+            m_ = (first_lobe == 3) | (first_lobe == 4)
+            aux["diffuse-indirect"] = jnp.where(m_[..., None], indirect, 0.0)
+        if "glossy-indirect" in cfg.aov_layers:
+            aux["glossy-indirect"] = jnp.where(
+                (first_lobe == 2)[..., None], indirect, 0.0)
     if max_depth > 1 and ("reflect" in cfg.aov_layers
                           or "refract" in cfg.aov_layers):
         extra = radiance - radiance_d0

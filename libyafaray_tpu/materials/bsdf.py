@@ -351,6 +351,9 @@ class MatSample:
     dispersed: Array = None  # bool[N] chromatic refraction event (glass
                              # with dispersion_power > 0; integrator tints
                              # the path by wl2rgb on the first one)
+    lobe: Array = None       # i32[N] sampled lobe: 0 delta-reflect,
+                             # 1 delta-transmit, 2 microfacet, 3 diffuse,
+                             # 4 translucent (AOV diffuse/glossy splits)
 
 
 def _sample_single(mp: MP, sp, wo_l: Array, u1: Array, u2: Array, u3: Array
@@ -488,9 +491,11 @@ def _sample_single(mp: MP, sp, wo_l: Array, u1: Array, u2: Array, u3: Array
     pdf_out = jnp.where(picked_delta, 0.0, pdf_nd)
     valid = valid & jnp.where(picked_delta, True, pdf_nd > 1e-9)
     is_transmit = (wi_l[..., 2] * wo_l[..., 2]) < 0.0
+    lobe = jnp.where(pick_dr, 0, jnp.where(pick_dt, 1, jnp.where(
+        pick_mf, 2, jnp.where(pick_di, 3, 4)))).astype(jnp.int32)
     return MatSample(wi=wi_l, weight=weight, pdf=pdf_out,
                      is_delta=picked_delta, is_transmit=is_transmit,
-                     valid=valid)
+                     valid=valid, lobe=lobe)
 
 
 def blend_factor(scene: SceneData, sp) -> Array:

@@ -755,6 +755,32 @@ class SceneBuilder:
                 {"type": "bglight",
                  "samples": self.background_params.get_int("ibl_samples", 16),
                  "cast_shadows": self.background_params.get_bool("cast_shadows", True)})))
+        if (self.background_params is not None
+                and self.background_params.get_bool("add_sun", False)):
+            # sunsky/darksky add_sun: synthesize a sun light toward `from`
+            # with a simple Rayleigh+aerosol attenuated color (the
+            # reference integrates the full solar spectrum,
+            # background_darksky.cc getSunColorFromSunRad; this closed-form
+            # RGB attenuation matches it within a few percent for typical
+            # turbidities)
+            bpm = self.background_params
+            sd = np.asarray(bpm.get_vector("from", (1.0, 1.0, 1.0)),
+                            np.float64)
+            sd = sd / max(np.linalg.norm(sd), 1e-12)
+            turb = bpm.get_float("turbidity", 4.0)
+            theta = math.acos(max(min(sd[2], 1.0), -1.0))
+            am = 1.0 / (math.cos(theta) + 0.15
+                        * max(93.885 - math.degrees(theta), 1e-3) ** -1.253)
+            beta = 0.04608365822050 * turb - 0.04586025928522
+            lam = np.array([0.612, 0.549, 0.465])  # um, RGB primaries
+            tau = (np.exp(-0.008735 * am * lam ** -4.08)
+                   * np.exp(-beta * am * lam ** -1.3))
+            col = tuple((tau / max(tau.max(), 1e-6)).tolist())
+            specs.append(("__sun__", P.ParamMap(
+                {"type": "sunlight", "direction": tuple(sd.tolist()),
+                 "color": col,
+                 "power": bpm.get_float("sun_power", 1.0),
+                 "cast_shadows": bpm.get_bool("cast_shadows_sun", True)})))
         n = max(len(specs), 1)
         z = lambda: np.zeros((n,), np.float32)
         z3 = lambda: np.zeros((n, 3), np.float32)
