@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -49,11 +50,11 @@ def srgb_to_linear(c: Array) -> Array:
     return jnp.where(c <= 0.04045, c / 12.92, jnp.power((c + 0.055) / 1.055, 2.4))
 
 
-_RGB_TO_XYZ = jnp.array(
+_RGB_TO_XYZ = np.array(
     [[0.4124564, 0.3575761, 0.1804375],
      [0.2126729, 0.7151522, 0.0721750],
      [0.0193339, 0.1191920, 0.9503041]], jnp.float32)
-_XYZ_TO_RGB = jnp.array(
+_XYZ_TO_RGB = np.array(
     [[3.2404542, -1.5371385, -0.4985314],
      [-0.9692660, 1.8760108, 0.0415560],
      [0.0556434, -0.2040259, 1.0572252]], jnp.float32)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import lights as L
 from .. import sampler
@@ -190,8 +191,8 @@ def lookup_attenuation(vol_atten, p: Array, li: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 # Mie angular scattering lookup (integrator_sky.cc:175-196 piecewise lerp)
-_MIE_DEG = jnp.array([0.0, 1.0, 4.0, 7.0, 10.0, 30.0, 60.0, 80.0, 180.0])
-_MIE_VAL = jnp.array([4.192, 4.192, 3.311, 2.860, 2.518, 1.122,
+_MIE_DEG = np.array([0.0, 1.0, 4.0, 7.0, 10.0, 30.0, 60.0, 80.0, 180.0])
+_MIE_VAL = np.array([4.192, 4.192, 3.311, 2.860, 2.518, 1.122,
                       0.3324, 0.1644, 0.1])
 
 

@@ -5,10 +5,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-IDENTITY = jnp.eye(4, dtype=jnp.float32)
+IDENTITY = np.eye(4, dtype=np.float32)
 
 
 def transform_point(m: Array, p: Array) -> Array:

@@ -17,15 +17,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-_PRIMES = jnp.array(
+_PRIMES = np.array(
     [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67,
      71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113], dtype=jnp.uint32
 )
 
-_INV_U32 = jnp.float32(2.3283064365386963e-10)  # 1 / 2^32
+_INV_U32 = np.float32(2.3283064365386963e-10)  # 1 / 2^32
 
 
 def pcg4d(v: Array) -> Array:
@@ -93,12 +94,12 @@ def _reverse_bits32(x: Array) -> Array:
     return x
 
 
-def van_der_corput(n: Array, scramble: Array = jnp.uint32(0)) -> Array:
+def van_der_corput(n: Array, scramble: Array = np.uint32(0)) -> Array:
     """Base-2 radical inverse with XOR scramble (reference sample.h `riVdC`)."""
     return _u32_to_unit_float(_reverse_bits32(n) ^ jnp.asarray(scramble, jnp.uint32))
 
 
-def larcher_pillichshammer(n: Array, scramble: Array = jnp.uint32(0)) -> Array:
+def larcher_pillichshammer(n: Array, scramble: Array = np.uint32(0)) -> Array:
     """Larcher-Pillichshammer (0,1)-sequence second component
     (reference sample.h `riLp`), vectorized over the 32 bits."""
     scramble = jnp.asarray(scramble, jnp.uint32)

@@ -1,0 +1,105 @@
+"""Multi-host (multi-process) entry point: 2 CPU processes with
+jax.distributed + film-folder merge (SURVEY.md par.2.15 render-farm row,
+reference imageFilmLoadAllInFolder imagefilm.cc:940-1008)."""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r}); sys.path.insert(0, {tests!r})
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # initialize the multi-process runtime BEFORE importing the renderer
+    # package (importing it builds device constants -> backend init)
+    import jax
+    pid_, n_ = __import__(
+        "importlib").import_module(
+        "libyafaray_tpu.parallel.distributed").init_distributed(
+        coordinator_address={coord!r},
+        num_processes=2, process_id=int(sys.argv[1]))
+    assert n_ == 2, n_
+    from libyafaray_tpu.parallel.distributed import render_node_film
+    from libyafaray_tpu import make_integrator
+    from scenes import cornell_builder
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    cfg = make_integrator({{"type": "directlighting"}})
+    render_node_film(scene, cfg, 16, 16, spp=2, node=pid_,
+                     out_dir={out!r})
+    print("node", pid_, "done")
+""")
+
+
+@pytest.mark.timeout(600)
+def test_two_process_render_farm(tmp_path):
+    coord = f"127.0.0.1:{_free_port()}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _WORKER.format(repo=repo, tests=os.path.join(repo, "tests"),
+                            coord=coord, out=str(tmp_path))
+    env = dict(os.environ)
+    for k in list(env):
+        if "PALLAS" in k or "AXON" in k:
+            env.pop(k)
+    # drop the harness sitecustomize (it initializes the axon backend at
+    # import, which breaks jax.distributed.initialize-before-backend)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("jax.distributed coordination timed out on this host")
+        outs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
+
+    # merge the two node films (the DCN / render-farm path)
+    from libyafaray_tpu import film as F
+    merged, _off = F.load_all_in_folder(str(tmp_path))
+
+    # oracle: the same two decorrelated node renders in-process
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    from scenes import cornell_builder
+    from libyafaray_tpu import make_integrator
+    from libyafaray_tpu.parallel.distributed import render_node_film
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 16
+    b.cameras["cam"]["resy"] = 16
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    f0 = render_node_film(scene, cfg, 16, 16, spp=2, node=0)
+    f1 = render_node_film(scene, cfg, 16, 16, spp=2, node=1)
+    ref = F.merge([f0, f1])
+
+    img_m = np.asarray(F.resolve(merged, "combined"))
+    img_r = np.asarray(F.resolve(ref, "combined"))
+    np.testing.assert_allclose(img_m, img_r, atol=1e-5)
+    # nodes genuinely drew different sample streams
+    a = np.asarray(F.resolve(f0, "combined"))
+    bb = np.asarray(F.resolve(f1, "combined"))
+    assert np.abs(a - bb).max() > 1e-4
