@@ -238,7 +238,8 @@ def _emit_radiance_toward(scene: SceneData, org: _LightOrigin, wo: Array
     # sample_light (cos against the light axis)
     cos_ax = vec.dot(wo, lt.direction[li])
     from ..lights import _ies_factor
-    rad = jnp.where(m[..., None], col * _ies_factor(lt, li, cos_ax)[..., None],
+    rad = jnp.where(m[..., None],
+                    col * _ies_factor(lt, li, cos_ax, wo)[..., None],
                     rad)
 
     m = ty == LIGHT_SPOT

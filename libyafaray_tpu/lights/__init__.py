@@ -60,23 +60,48 @@ def _spot_falloff(cos_a: Array, cos_start: Array, cos_end: Array,
                      jnp.power(smooth, jnp.maximum(falloff, 1e-6)))
 
 
-def _ies_factor(lt: LightTable, li: Array, cos_a: Array) -> Array:
-    """IES photometric profile lookup: candela multiplier vs angle from the
-    light axis (reference light_ies.cc + light_ies_data.h). Profiles are
-    resampled host-side to IES_RES uniform angular bins over [0, pi]."""
+def _ies_factor(lt: LightTable, li: Array, cos_a: Array,
+                wdir: Array | None = None) -> Array:
+    """IES photometric profile lookup: candela multiplier vs (horizontal,
+    vertical) emission angle (reference light_ies.cc getAngles +
+    light_ies_data.h getRadiance). Profiles are resampled host-side to a
+    uniform [IES_RES_H, IES_RES] grid (periodic in the horizontal angle),
+    so the runtime is one bilinear fetch. `wdir` is the world direction
+    used for the horizontal angle (surface->light for illumination,
+    light->out for emission, mirroring the reference's two call sites);
+    None means axially-symmetric lookup at h=0."""
     ies_id = lt.ies_id[li]
     has = ies_id >= 0
-    res = lt.ies_pool.shape[-1] if lt.ies_pool.ndim == 2 else 0
-    if res == 0:
+    if lt.ies_pool.ndim != 3:
         return jnp.ones_like(cos_a)
-    ang = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
-    x = ang / jnp.pi * (res - 1)
-    i0 = jnp.clip(x.astype(jnp.int32), 0, res - 2)
-    fr = x - i0
-    prof = lt.ies_pool[jnp.maximum(ies_id, 0)]  # [N, res]
-    lanes = jnp.arange(i0.shape[0])
-    v = prof[lanes, i0] * (1 - fr) + prof[lanes, i0 + 1] * fr
-    return jnp.where(has, v, jnp.ones_like(cos_a))
+    res_h, res_v = lt.ies_pool.shape[-2], lt.ies_pool.shape[-1]
+    prof = lt.ies_pool[jnp.maximum(ies_id, 0)]  # [N, res_h, res_v]
+    lanes = jnp.arange(cos_a.shape[0])
+    # vertical: angle from the light axis over [0, pi]
+    xv = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0)) / jnp.pi * (res_v - 1)
+    v0 = jnp.clip(xv.astype(jnp.int32), 0, res_v - 2)
+    fv = xv - v0
+    # horizontal: reference getAngles (light_ies.cc:51-61) keys the
+    # azimuth off the world direction: u = acos(dir.z), mirrored to
+    # [180, 360) when dir.y < 0
+    if res_h == 1 or wdir is None:
+        h0 = jnp.zeros_like(v0)
+        h1 = jnp.zeros_like(v0)
+        fh = jnp.zeros_like(fv)
+    else:
+        u = jnp.arccos(jnp.clip(wdir[..., 2], -1.0, 1.0))
+        u = jnp.where(wdir[..., 1] < 0.0, 2.0 * jnp.pi - u, u)
+        xh = u / (2.0 * jnp.pi) * res_h
+        h0 = jnp.mod(xh.astype(jnp.int32), res_h)
+        h1 = jnp.mod(h0 + 1, res_h)
+        fh = xh - jnp.floor(xh)
+    p00 = prof[lanes, h0, v0]
+    p01 = prof[lanes, h0, v0 + 1]
+    p10 = prof[lanes, h1, v0]
+    p11 = prof[lanes, h1, v0 + 1]
+    val = ((p00 * (1 - fv) + p01 * fv) * (1 - fh)
+           + (p10 * (1 - fv) + p11 * fv) * fh)
+    return jnp.where(has, val, jnp.ones_like(cos_a))
 
 
 def _has(lt: LightTable, ty: int) -> bool:
@@ -154,7 +179,7 @@ def sample_light(scene: SceneData, li: Array, p: Array, ns: Array,
     if _has(lt, LIGHT_IES):
         m = ty == LIGHT_IES
         cos_ax = vec.dot(-wi_pt, ldir)
-        ies_f = _ies_factor(lt, li, cos_ax)
+        ies_f = _ies_factor(lt, li, cos_ax, wi_pt)
         rad_i = col * (ies_f / d2)[..., None]
         wi = jnp.where(m[..., None], wi_pt, wi)
         dist = jnp.where(m, dist_pt, dist)

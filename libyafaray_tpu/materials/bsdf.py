@@ -188,8 +188,8 @@ def _oren_nayar_factor(sigma: Array, wo_l: Array, wi_l: Array) -> Array:
     b = 0.45 * s2 / (s2 + 0.09)
     cos_to = jnp.clip(jnp.abs(wo_l[..., 2]), 0.0, 1.0)
     cos_ti = jnp.clip(jnp.abs(wi_l[..., 2]), 0.0, 1.0)
-    sin_to = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_to * cos_to))
-    sin_ti = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_ti * cos_ti))
+    sin_to = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_to * cos_to))
+    sin_ti = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_ti * cos_ti))
     # cos(phi_i - phi_o) via projected directions
     po = wo_l[..., :2] * jax.lax.rsqrt(jnp.maximum(
         jnp.sum(wo_l[..., :2] ** 2, -1, keepdims=True), 1e-12))

@@ -16,7 +16,9 @@ INV_PI = 1.0 / jnp.pi
 
 
 def blinn_d(cos_h: Array, exponent: Array) -> Array:
-    cos_h = jnp.maximum(cos_h, 0.0)
+    # eps-clamp: d/d(exponent) pow(c,e) = pow*ln(c); ln(0) would poison
+    # the exponent gradient through masked lanes
+    cos_h = jnp.maximum(cos_h, 1e-12)
     return (exponent + 2.0) * (0.5 * INV_PI) * jnp.power(cos_h, exponent)
 
 
@@ -24,7 +26,7 @@ def blinn_sample_h(u1: Array, u2: Array, exponent: Array) -> Array:
     """Sample half-vector from the Blinn lobe; pdf_h = blinn_d * cos_h /
     ... (standard: pdf_h = (e+1)/(2pi) cos^e)."""
     cos_t = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (exponent + 1.0))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_t * cos_t))
     phi = 2.0 * jnp.pi * u2
     return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
 
@@ -35,7 +37,7 @@ def blinn_pdf_h(cos_h: Array, exponent: Array) -> Array:
 
 def as_aniso_d(h: Array, exp_u: Array, exp_v: Array) -> Array:
     """Ashikhmin-Shirley anisotropic distribution (asAnisoD)."""
-    cos_h = jnp.maximum(h[..., 2], 0.0)
+    cos_h = jnp.maximum(h[..., 2], 1e-12)
     sin2 = jnp.maximum(1.0 - cos_h * cos_h, 1e-12)
     e = (exp_u * h[..., 0] * h[..., 0] + exp_v * h[..., 1] * h[..., 1]) / sin2
     norm = jnp.sqrt((exp_u + 2.0) * (exp_v + 2.0)) * (0.5 * INV_PI)
@@ -53,7 +55,7 @@ def as_aniso_sample_h(u1: Array, u2: Array, exp_u: Array, exp_v: Array) -> Array
     cp, sp_ = jnp.cos(phi_h), jnp.sin(phi_h)
     e = exp_u * cp * cp + exp_v * sp_ * sp_
     cos_t = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (e + 1.0))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_t * cos_t))
     return jnp.stack([sin_t * cp, sin_t * sp_, cos_t], axis=-1)
 
 
@@ -78,7 +80,7 @@ def ggx_sample_h(u1: Array, u2: Array, alpha: Array) -> Array:
     phi = 2.0 * jnp.pi * u2
     tan2 = alpha * alpha * u1 / jnp.maximum(1.0 - u1, 1e-9)
     cos_t = jax.lax.rsqrt(1.0 + tan2)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_t * cos_t))
     return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
 
 

@@ -53,7 +53,7 @@ def refract(wi: Array, n: Array, eta: Array):
     inv_eta = 1.0 / eta
     sin2_t = inv_eta * inv_eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     wt = normalize(-wi * inv_eta + (inv_eta * cos_i - cos_t) * n)
     return wt, tir[..., 0]
 
@@ -65,7 +65,7 @@ def fresnel_dielectric(cos_i: Array, eta: Array) -> Array:
     cos_i = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
     sin2_t = jnp.maximum(0.0, 1.0 - cos_i * cos_i) / (eta * eta)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     r_par = (eta * cos_i - cos_t) / (eta * cos_i + cos_t)
     r_perp = (cos_i - eta * cos_t) / (cos_i + eta * cos_t)
     fr = 0.5 * (r_par * r_par + r_perp * r_perp)

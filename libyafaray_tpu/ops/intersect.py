@@ -298,8 +298,19 @@ def closest_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
     the block accelerator (whose AABBs are unions over all motion control
     points); the LBVH is built over t=0 bounds only, so motion scenes fall
     back to brute when `scene_accelerator: "bvh"` is forced."""
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
+    # detached sampling applies to inputs too: every hit output is already
+    # stop_gradient'ed (see _detach_hit), so detaching the query rays here
+    # changes no gradient — but it keeps differentiated bounce directions
+    # (e.g. refraction through a learnable IOR) from flowing INTO the
+    # Pallas kernel, which has no autodiff rule
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    t_min = jnp.broadcast_to(jax.lax.stop_gradient(
+        jnp.asarray(t_min, jnp.float32)), o.shape[:-1])
+    t_max = jnp.broadcast_to(jax.lax.stop_gradient(
+        jnp.asarray(t_max, jnp.float32)), o.shape[:-1])
+    if time is not None:
+        time = jax.lax.stop_gradient(time)
     if scene.accel_kind == "blocks" and scene.blocks is not None:
         from ..accel.blocks import blocks_closest
         return _detach_hit(blocks_closest(
@@ -322,8 +333,16 @@ def any_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
             exclude_prim: Optional[Array] = None,
             time: Optional[Array] = None) -> Array:
     """Binary shadow query (Accelerator::intersectS analogue)."""
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o.shape[:-1])
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
+    # boolean output: no gradient either way; detach inputs so the Pallas
+    # path never sees differentiated rays (see closest_hit)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    t_min = jnp.broadcast_to(jax.lax.stop_gradient(
+        jnp.asarray(t_min, jnp.float32)), o.shape[:-1])
+    t_max = jnp.broadcast_to(jax.lax.stop_gradient(
+        jnp.asarray(t_max, jnp.float32)), o.shape[:-1])
+    if time is not None:
+        time = jax.lax.stop_gradient(time)
     if scene.accel_kind == "blocks" and scene.blocks is not None:
         from ..accel.blocks import blocks_any
         return blocks_any(scene, o, d, t_min, t_max, exclude_prim,

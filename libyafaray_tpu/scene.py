@@ -952,10 +952,8 @@ class SceneBuilder:
             present_types=tuple(sorted(
                 {int(t) for t in cols["light_type"][:len(specs)]})),
             ies_pool=(jnp.asarray(np.stack([
-                np.interp(np.linspace(0, 1, 64),
-                          np.linspace(0, 1, len(p)), p)
-                for p in ies_profiles]).astype(np.float32))
-                if ies_profiles else jnp.zeros((1, 64), jnp.float32)),
+                _ies_grid(p) for p in ies_profiles]).astype(np.float32))
+                if ies_profiles else jnp.zeros((1, 1, 64), jnp.float32)),
             **{k: jnp.asarray(v) for k, v in cols.items()})
         return lights, geom_np
 
@@ -1014,6 +1012,23 @@ class SceneBuilder:
             return None
         from .volumes import build_volume_table
         return build_volume_table(self)
+
+
+def _ies_grid(p: np.ndarray) -> np.ndarray:
+    """Normalize an IES profile to the pool's [H, 64] layout: parse_ies
+    output passes through (v-resampled if needed); raw 1-D arrays (user
+    supplied vertical profiles) become a single axially-symmetric row."""
+    from .lights.ies import IES_RES_H
+    p = np.asarray(p, np.float32)
+    if p.ndim == 1:
+        p = p[None, :]
+    if p.shape[-1] != 64:
+        p = np.stack([np.interp(np.linspace(0, 1, 64),
+                                np.linspace(0, 1, p.shape[-1]), row)
+                      for row in p])
+    if p.shape[0] == 1:
+        p = np.broadcast_to(p, (IES_RES_H, 64))
+    return p.astype(np.float32)
 
 
 def _extrude_curve(obj: _MeshObject) -> None:

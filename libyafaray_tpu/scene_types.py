@@ -257,7 +257,8 @@ class LightTable:
     tri_start: Array        # i32[L] first face index of mesh light
     tri_count: Array        # i32[L]
     ies_id: Array           # i32[L] IES profile index into ies_pool (-1)
-    ies_pool: Array         # f32[P, IES_RES] sampled IES candela profiles
+    ies_pool: Array         # f32[P, IES_RES_H, IES_RES] candela grids
+                            # (periodic horizontal x clamped vertical)
     # per-face normalized cumulative triangle areas within each mesh/portal
     # light's face range (area-CDF pick, light_object_light.cc Pdf1D);
     # f32[num_faces] aligned with geom.faces, 0 outside light ranges.

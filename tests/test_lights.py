@@ -264,3 +264,44 @@ def test_sphere_light_shadow_distance_exact():
     # seen along the center distance) must be lit
     center = img[10:14, 6:10].mean()
     assert center > 0.05, f"floor falsely shadowed: {center}"
+
+
+def test_ies_horizontal_anisotropy():
+    """Type C files with multiple horizontal angles must produce
+    azimuth-dependent candela (reference light_ies_data.h getRadiance 2-D
+    bilinear + light_ies.cc getAngles azimuth convention)."""
+    from libyafaray_tpu.lights.ies import parse_ies
+    from scenes import cornell_builder
+    txt = """IESNA:LM-63-1995
+TILT=NONE
+1 1000.0 1.0 3 2 1 2 0.3 0.3 0.3
+1.0 1.0 0.0
+0.0 90.0 180.0
+0.0 180.0
+1000.0 1000.0 1000.0
+0.0 0.0 0.0
+"""
+    prof = parse_ies(txt)
+    assert prof.shape == (32, 64)
+    # bright at h=0, dark at h=180, halfway in between (bilateral fold)
+    assert prof[0].max() == pytest.approx(1.0)
+    assert prof[16].max() == pytest.approx(0.0, abs=1e-6)
+    assert prof[8].max() == pytest.approx(0.5, rel=0.05)
+
+    b = cornell_builder(light_kind="point")
+    del b.lights["lamp"]
+    b.light_order.remove("lamp")
+    b.create_light("ies", {"type": "ieslight", "from": (0.5, 0.5, 0.5),
+                           "to": (0.5, 0.5, 0.0), "color": (1, 1, 1),
+                           "power": 1.0, "ies_data": prof})
+    scene = b.compile("cam")
+    lt = scene.lights
+    li = jnp.asarray([int(np.argmax(np.asarray(lt.light_type) ==
+                                    L.LIGHT_IES))] * 3, jnp.int32)
+    cos_a = jnp.zeros((3,), jnp.float32)  # 90 deg off-axis vertically
+    # azimuth u: +z -> 0 deg (bright), x -> 90 deg (half), -z -> 180 (dark)
+    wdir = jnp.asarray([[0, 0, 1], [1, 0, 0], [0, 0, -1]], jnp.float32)
+    f = np.asarray(L._ies_factor(lt, li, cos_a, wdir))
+    assert f[0] > 0.9
+    assert abs(f[1] - 0.5) < 0.1
+    assert f[2] < 0.05

@@ -245,10 +245,12 @@ TILT=NONE
 1000.0 800.0 200.0 10.0 0.0
 """
     prof = parse_ies(ies_text)
-    assert prof.shape == (64,)
-    assert prof[0] == pytest.approx(1.0)      # peak at 0 deg, normalized
-    assert prof[-1] == pytest.approx(0.0, abs=1e-5)
-    assert prof[0] > prof[20] > prof[-1]
+    assert prof.shape == (32, 64)
+    assert prof[0, 0] == pytest.approx(1.0)   # peak at 0 deg, normalized
+    assert prof[0, -1] == pytest.approx(0.0, abs=1e-5)
+    assert prof[0, 0] > prof[0, 20] > prof[0, -1]
+    # single horizontal angle: axially symmetric, all rows identical
+    assert np.allclose(prof, prof[0][None])
 
     b = cornell_builder(light_kind="point")
     del b.lights["lamp"]
