@@ -120,6 +120,69 @@ def bench_cornell_fwd_bwd(budget_s: float):
     return done_rays / dt, dict(width=width, height=height, bounces=bounces)
 
 
+def bench_caustic_grad(budget_s: float):
+    """BASELINE.md config 4: glass-in-Cornell caustic scene, fwd+bwd rays/s
+    with gradients flowing to the glass IOR and a floor albedo texture's
+    texel pool (through uv + bilinear sampling)."""
+    from libyafaray_tpu import make_integrator
+    from libyafaray_tpu.cameras import shoot_rays
+    from libyafaray_tpu.integrators.mc import integrate
+    from libyafaray_tpu import sampler
+    from scenes import caustic_grad_builder
+
+    width = height = int(os.environ.get("BENCH_CAUSTIC_RES", 512))
+    bounces = 5
+    scene = caustic_grad_builder(width, height).compile("cam")
+    cfg = make_integrator({"type": "pathtracing", "bounces": bounces})
+    n = width * height
+
+    def loss_fn(theta, scene, px, py, pid, sidx):
+        ior, texels = theta
+        sc = scene.replace(
+            materials=scene.materials.replace(ior=ior),
+            textures=scene.textures.replace(texel_pool=texels))
+        lu = sampler.rand1(pid, sidx, 0, 777)
+        lv = sampler.rand1(pid, sidx, 0, 778)
+        o, d, valid = shoot_rays(sc.camera, px, py, lu, lv)
+        rgb, alpha, _ = integrate(sc, cfg, o, d, valid, pid, sidx)
+        return jnp.mean(rgb)
+
+    @jax.jit
+    def fwd_bwd(scene, px, py, pid, sidx):
+        theta = (scene.materials.ior, scene.textures.texel_pool)
+        loss, g = jax.value_and_grad(loss_fn)(theta, scene, px, py, pid,
+                                              sidx)
+        return loss, g
+
+    yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    pid = jnp.asarray((yy * width + xx).reshape(-1).astype(np.uint32))
+    px = jnp.asarray((xx.reshape(-1) + 0.5).astype(np.float32))
+    py = jnp.asarray((yy.reshape(-1) + 0.5).astype(np.float32))
+
+    loss, g = fwd_bwd(scene, px, py, pid, jnp.uint32(0))
+    loss.block_until_ready()
+    g_ior = float(jnp.abs(g[0]).sum())
+    g_tex = float(jnp.abs(g[1]).sum())
+
+    t0 = time.time()
+    deadline = t0 + budget_s
+    done = 0
+    s = 1
+    while True:
+        loss, g = fwd_bwd(scene, px, py, pid, jnp.uint32(s))
+        done += n
+        s += 1
+        if s % 2 == 0:
+            loss.block_until_ready()
+            if time.time() > deadline or s > 32:
+                break
+    loss.block_until_ready()
+    dt = time.time() - t0
+    return done / dt, dict(res=f"{width}x{height}", bounces=bounces,
+                           grad_ior_l1=round(g_ior, 6),
+                           grad_texel_l1=round(g_tex, 6))
+
+
 def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
                   profile: bool = False):
     """Forward rays/s through the public render() loop (film scatter-add,
@@ -169,7 +232,8 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
 def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", 150))
     configs = os.environ.get("BENCH_CONFIGS",
-                             "cornell,bigmesh,glossy,volume").split(",")
+                             "cornell,bigmesh,glossy,caustic,volume"
+                             ).split(",")
     extra = {}
 
     rays_per_sec = 0.0
@@ -205,6 +269,15 @@ def main():
         except Exception as exc:
             extra["glossy_cornell"] = {"error": str(exc)[:300]}
 
+    if "caustic" in configs:
+        # BASELINE.md config 4: dielectric caustic paths; fwd+bwd with
+        # gradients w.r.t. IOR and the albedo texture texel pool
+        try:
+            rps, info = bench_caustic_grad(budget)
+            extra["caustic_grad"] = {"rays_per_sec": round(rps, 1), **info}
+        except Exception as exc:
+            extra["caustic_grad"] = {"error": str(exc)[:300]}
+
     if "volume" in configs:
         try:
             from scenes import volume_emissive_builder
@@ -230,7 +303,8 @@ def main():
                   "1920x1080 4b; baseline = measured reference CPU "
                   "fwd-only rays/s; extra: fwd-only rays/s for BASELINE.md "
                   "configs 2 (glossy), 3 (203k-tri mesh + env), 5 (volume + "
-                  "emissive mesh) with per-kernel attribution",
+                  "emissive mesh) with per-kernel attribution, and fwd+bwd "
+                  "rays/s for config 4 (caustic + IOR/texel gradients)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / base, 2),

@@ -32,6 +32,11 @@ def _aa_params(pm: P.ParamMap) -> AAParams:
         aa_passes=pm.get_int("AA_passes", 1),
         aa_inc_samples=pm.get_int("AA_inc_samples", 1),
         threshold=pm.get_float("AA_threshold", 0.05),
+        dark_detection_type=pm.get_string("AA_dark_detection_type", "none"),
+        dark_threshold_factor=pm.get_float("AA_dark_threshold_factor", 0.0),
+        detect_color_noise=pm.get_bool("AA_detect_color_noise", False),
+        variance_edge_size=pm.get_int("AA_variance_edge_size", 10),
+        variance_pixels=pm.get_int("AA_variance_pixels", 0),
     )
 
 

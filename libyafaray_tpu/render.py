@@ -35,6 +35,13 @@ class AAParams:
     aa_passes: int = struct.field(pytree_node=False, default=1)
     aa_inc_samples: int = struct.field(pytree_node=False, default=1)
     threshold: float = struct.field(pytree_node=False, default=0.05)
+    # noise-detection extras (AaNoiseParams, scene.cc:582-610)
+    dark_detection_type: str = struct.field(pytree_node=False,
+                                            default="none")  # none|linear|curve
+    dark_threshold_factor: float = struct.field(pytree_node=False, default=0.0)
+    detect_color_noise: bool = struct.field(pytree_node=False, default=False)
+    variance_edge_size: int = struct.field(pytree_node=False, default=10)
+    variance_pixels: int = struct.field(pytree_node=False, default=0)
 
 
 def render_pass_fn(scene: SceneData, cfg: IntegratorConfig, film: F.Film,
@@ -86,20 +93,90 @@ def _render_pass_jit(scene, cfg, film, sample_idx, resample_mask):
     return render_pass_fn(scene, cfg, film, sample_idx, resample_mask)
 
 
-def compute_resample_mask(film: F.Film, threshold: float) -> Array:
-    """Adaptive-AA noise detection: flag pixels whose color difference vs any
-    neighbor exceeds the threshold (simplified ImageFilm::nextPass,
-    imagefilm.cc:300-426, incl. the neighbor color-difference criterion)."""
+# darkThresholdCurveInterpolate (imagefilm.cc:799-816) as interp knots:
+# a piecewise-linear map from pixel brightness to the AA threshold
+_DARK_CURVE_X = jnp.asarray([0.10, 0.20, 0.30, 0.40, 0.50, 0.60, 0.70,
+                             0.80, 0.90, 1.00, 1.20, 1.40, 1.80],
+                            jnp.float32)
+_DARK_CURVE_Y = jnp.asarray([0.0001, 0.0010, 0.0020, 0.0035, 0.0055,
+                             0.0075, 0.0100, 0.0150, 0.0250, 0.0400,
+                             0.0800, 0.0950, 0.1000], jnp.float32)
+
+
+def _shift_edge(img: Array, dy: int, dx: int) -> Array:
+    """Shift with edge replication (so border pixels compare against
+    themselves -> zero difference, matching the reference's x<width-1
+    bounded loops rather than wraparound)."""
+    pad = jnp.pad(img, ((1, 1), (1, 1)) + ((0, 0),) * (img.ndim - 2),
+                  mode="edge")
+    h, w = img.shape[:2]
+    return pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+
+def compute_resample_mask(film: F.Film, aa: "AAParams") -> Array:
+    """Adaptive-AA noise detection (ImageFilm::nextPass,
+    imagefilm.cc:300-426), all three reference criteria vectorized:
+
+    1. per-pixel threshold scaled by brightness — dark detection "linear"
+       (thr * ((1-f) + bri*f)) or "curve" (darkThresholdCurveInterpolate);
+    2. color difference vs the 4 forward neighbors (x+1,y), (x,y+1),
+       (x+1,y+1), (x-1,y+1), flagging both pixels of a noisy pair;
+    3. variance window — count row/column neighbor-pair differences over
+       threshold inside a variance_edge_size window; if the count reaches
+       variance_pixels, flag the whole window.  (The reference evaluates
+       every pair against the *center* pixel's scaled threshold; here each
+       pair uses its own local threshold — the thresholds vary smoothly so
+       the flagged sets match to within a pixel.)
+
+    Unrendered pixels (weight 0 after a film reload) are always flagged.
+    """
     img = F.resolve(film, "combined")[..., :3]
-    img = C.linear_to_srgb(jnp.clip(img, 0.0, 1.0))  # perceptual-ish space
-    mask = jnp.zeros(img.shape[:2], bool)
-    for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
-        nb = jnp.roll(img, (dy, dx), axis=(0, 1))
-        diff = C.color_difference(img, nb)
-        mask = mask | (diff > threshold)
-    # dilate by one pixel like the reference's flag spreading
-    for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
-        mask = mask | jnp.roll(mask, (dy, dx), axis=(0, 1))
+    bri = (0.2126 * jnp.abs(img[..., 0]) + 0.7152 * jnp.abs(img[..., 1])
+           + 0.0722 * jnp.abs(img[..., 2]))  # Rgb::abscol2Bri
+    if aa.dark_detection_type == "linear" and aa.dark_threshold_factor > 0:
+        f = aa.dark_threshold_factor
+        thr = aa.threshold * ((1.0 - f) + bri * f)
+    elif aa.dark_detection_type == "curve":
+        thr = jnp.interp(bri, _DARK_CURVE_X, _DARK_CURVE_Y)
+    else:
+        thr = jnp.full_like(bri, aa.threshold)
+
+    def cdiff(a, b):
+        # Rgba::colorDifference (color.h:450-468): luminance difference,
+        # optionally maxed with per-channel differences
+        la = 0.2126 * a[..., 0] + 0.7152 * a[..., 1] + 0.0722 * a[..., 2]
+        lb = 0.2126 * b[..., 0] + 0.7152 * b[..., 1] + 0.0722 * b[..., 2]
+        d = jnp.abs(la - lb)
+        if aa.detect_color_noise:
+            d = jnp.maximum(d, jnp.max(jnp.abs(a - b), axis=-1))
+        return d
+
+    mask = film.weights.reshape(img.shape[:2]) <= 0.0
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        nb = _shift_edge(img, dy, dx)
+        noisy = cdiff(img, nb) >= thr
+        mask = mask | noisy
+        # flag the neighbor of each noisy pair too (flags_.set on both)
+        mask = mask | (_shift_edge(noisy[..., None].astype(jnp.float32),
+                                   -dy, -dx)[..., 0] > 0.5)
+
+    if aa.variance_pixels > 0:
+        half = max(aa.variance_edge_size // 2, 1)
+        ex = (cdiff(img, _shift_edge(img, 0, 1)) >= thr).astype(jnp.float32)
+        ey = (cdiff(img, _shift_edge(img, 1, 0)) >= thr).astype(jnp.float32)
+        win = 2 * half - 1
+        cnt = (jax.lax.reduce_window(ex, 0.0, jax.lax.add, (1, win), (1, 1),
+                                     "SAME")
+               + jax.lax.reduce_window(ey, 0.0, jax.lax.add, (win, 1),
+                                       (1, 1), "SAME"))
+        vflag = cnt >= aa.variance_pixels
+        # flag the whole window around each trigger (2*half x 2*half box)
+        box = 2 * half
+        vflag = jax.lax.reduce_window(vflag.astype(jnp.float32), 0.0,
+                                      jax.lax.max, (box, box), (1, 1),
+                                      "SAME") > 0.5
+        mask = mask | vflag
+
     return mask.astype(jnp.float32)
 
 
@@ -209,7 +286,7 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
     for p in range(1, aa.aa_passes):
         if canceled():
             break
-        mask = compute_resample_mask(film, aa.threshold)
+        mask = compute_resample_mask(film, aa)
         n_resample = int(jnp.sum(mask > 0)) if stats is not None else 0
         for i in range(aa.aa_inc_samples):
             if stats is not None:

@@ -162,3 +162,35 @@ def volume_emissive_builder():
                             "minX": 0.0, "maxX": 1.0, "minY": 0.0,
                             "maxY": 1.0, "minZ": 0.0, "maxZ": 1.0})
     return b
+
+
+def caustic_grad_builder(resx=512, resy=512):
+    """BASELINE.md config 4: Cornell + glass box over a textured floor
+    plane — dielectric caustic paths with gradients w.r.t. IOR and the
+    floor texture's texels."""
+    b = cornell_builder(extras=[
+        ("glass", {"type": "glass", "IOR": 1.5,
+                   "filter_color": (0.97, 0.97, 0.97)})])
+    tex = (np.indices((32, 32)).sum(0) % 8 / 7.0).astype(np.float32)
+    img = np.stack([0.2 + 0.6 * tex, 0.5 * tex + 0.2, 0.9 - 0.5 * tex], -1)
+    b.create_texture("floor_tex", {"type": "image"}, image=img)
+    b.create_material(
+        "floor_mat",
+        {"type": "shinydiffusemat", "color": (1, 1, 1),
+         "diffuse_shader": "diff"},
+        node_list=[{"name": "diff", "type": "texture_mapper",
+                    "texture": "floor_tex", "texco": "uv"}])
+    b.create_object("floor_plane")
+    b.set_current_material("floor_mat")
+    z = 0.002
+    verts = np.asarray([[0, 0, z], [1, 0, z], [1, 1, z], [0, 1, z]],
+                       np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs = verts[:, :2].copy()
+    b.add_mesh_arrays(verts, faces, uvs=uvs, face_uvs=faces)
+    b.create_object("glassbox")
+    b.set_current_material("glass")
+    _box(b, (0.35, 0.35, 0.15), (0.3, 0.25, 0.35))
+    b.cameras["cam"]["resx"] = resx
+    b.cameras["cam"]["resy"] = resy
+    return b

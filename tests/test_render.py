@@ -439,3 +439,56 @@ def test_aov_indirect_closure_exact():
     assert np.isfinite(direct).all()
     assert (direct > -1e-3).all()
     assert direct.mean() > 0.01
+
+
+def test_adaptive_aa_dark_and_variance_criteria():
+    """ImageFilm::nextPass noise criteria (imagefilm.cc:300-426): dark
+    detection must flag low-amplitude noise in dark regions that the flat
+    threshold misses, and the variance window must flag a whole window
+    around clustered noisy pairs."""
+    from libyafaray_tpu.render import AAParams, compute_resample_mask
+    from libyafaray_tpu import film as F
+
+    h = w = 32
+    rng = np.random.default_rng(7)
+    img = np.full((h, w, 4), 0.5, np.float32)
+    img[..., 3] = 1.0
+    # dark quadrant with small noise: bri ~0.05, bounded amplitude 0.015
+    # (pairwise lum diff <= 0.03 < flat 0.05 threshold, >> curve 1e-4)
+    img[:16, :16, :3] = 0.05 + rng.uniform(-0.015, 0.015, (16, 16, 1))
+    film = F.make_film(w, h)
+    film = film.replace(weights=jnp.ones((h, w), jnp.float32),
+                        layers={"combined": jnp.asarray(img)})
+
+    flat = np.asarray(compute_resample_mask(
+        film, AAParams(threshold=0.05)))
+    curve = np.asarray(compute_resample_mask(
+        film, AAParams(threshold=0.05, dark_detection_type="curve")))
+    dark_flat = flat[:15, :15].mean()
+    dark_curve = curve[:15, :15].mean()
+    assert dark_flat < 0.1, "flat threshold should miss 0.02 noise"
+    assert dark_curve > 0.9, "dark curve must flag dark-region noise"
+    # smooth bright area stays unflagged under the curve (thr ~0.0075)
+    assert curve[20:30, 20:30].mean() == 0.0
+
+    # variance window: a 6x6 checkerboard noise patch; the window count
+    # (>= variance_pixels noisy pairs) must flag the surrounding window,
+    # beyond what the plain neighbor criterion marks
+    img2 = np.full((h, w, 4), 0.5, np.float32)
+    img2[..., 3] = 1.0
+    yy, xx = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    img2[13:19, 13:19, :3] = np.where(((yy + xx) % 2) == 0, 0.8, 0.2
+                                      )[..., None]
+    film2 = film.replace(layers={"combined": jnp.asarray(img2)})
+    base = np.asarray(compute_resample_mask(
+        film2, AAParams(threshold=0.05)))
+    var = np.asarray(compute_resample_mask(
+        film2, AAParams(threshold=0.05, variance_edge_size=8,
+                        variance_pixels=6)))
+    assert var.sum() > base.sum() + 20, \
+        "variance criterion must flag windows beyond the edge pixels"
+
+    # unrendered pixels (weight 0) are always flagged
+    film3 = film.replace(weights=jnp.zeros((h, w), jnp.float32))
+    m3 = np.asarray(compute_resample_mask(film3, AAParams(threshold=0.05)))
+    assert m3.min() == 1.0
