@@ -253,6 +253,14 @@ def main():
             ntris = 2 * (res - 1) * (res - 1)
             extra["bigmesh_203k"] = {"rays_per_sec": round(rps, 1),
                                      "triangles": ntris, **info}
+            # same scene through the Karras LBVH (non-default accel), for
+            # the blocks-vs-LBVH perf record
+            b_bvh = bigmesh_builder(res)
+            b_bvh.set_render_params({"scene_accelerator": "bvh"})
+            rps_bvh, _ = _bench_render(
+                b_bvh, {"type": "pathtracing", "bounces": 2},
+                min(budget, 60), spp_target=4)
+            extra["bigmesh_203k"]["lbvh_rays_per_sec"] = round(rps_bvh, 1)
         except Exception as exc:
             extra["bigmesh_203k"] = {"error": str(exc)[:300]}
 

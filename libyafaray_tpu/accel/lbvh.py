@@ -69,6 +69,16 @@ def build_lbvh(geom: Geometry) -> BVH:
         v2 = geom.vertices[geom.faces[:, 2]]
         tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
         tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+        # motion: bounds are the union over all control points (the
+        # b-spline curve lies inside its control hull), like the block
+        # accelerator's motion AABBs
+        for vb in (geom.vertices_t1, geom.vertices_t2):
+            if vb is not None:
+                b0 = vb[geom.faces[:, 0]]
+                b1 = vb[geom.faces[:, 1]]
+                b2 = vb[geom.faces[:, 2]]
+                tmin = jnp.minimum(tmin, jnp.minimum(jnp.minimum(b0, b1), b2))
+                tmax = jnp.maximum(tmax, jnp.maximum(jnp.maximum(b0, b1), b2))
     else:
         tmin = jnp.zeros((0, 3), jnp.float32)
         tmax = jnp.zeros((0, 3), jnp.float32)
@@ -195,8 +205,11 @@ def _ceil_div_pow2(l: Array) -> Array:
 
 def _prim_intersect(geom: Geometry, prim: Array, o: Array, d: Array,
                     t_min: Array, t_max: Array, vis_bit: int,
-                    exclude: Array):
-    """Intersect one primitive id (morton-order resolved) per lane."""
+                    exclude: Array, time: Optional[Array] = None):
+    """Intersect one primitive id (morton-order resolved) per lane.
+    `time` (per-lane shutter time) interpolates motion-blurred vertices:
+    2-keyframe lerp or quadratic b-spline over 3 control points
+    (primitive_triangle_bspline.cc:40-44)."""
     from ..ops.intersect import intersect_sphere, moller_trumbore
     f = geom.num_faces
     is_tri = prim < f
@@ -205,6 +218,25 @@ def _prim_intersect(geom: Geometry, prim: Array, o: Array, d: Array,
     v0 = geom.vertices[fidx[..., 0]]
     v1 = geom.vertices[fidx[..., 1]]
     v2 = geom.vertices[fidx[..., 2]]
+    if time is not None and geom.vertices_t1 is not None:
+        tm = jnp.asarray(time, jnp.float32)
+        b0 = geom.vertices_t1[fidx[..., 0]]
+        b1 = geom.vertices_t1[fidx[..., 1]]
+        b2 = geom.vertices_t1[fidx[..., 2]]
+        if geom.vertices_t2 is not None:
+            c0 = geom.vertices_t2[fidx[..., 0]]
+            c1 = geom.vertices_t2[fidx[..., 1]]
+            c2 = geom.vertices_t2[fidx[..., 2]]
+            w0 = (1.0 - tm) * (1.0 - tm)
+            w1 = 2.0 * tm * (1.0 - tm)
+            w2 = tm * tm
+            v0 = v0 * w0 + b0 * w1 + c0 * w2
+            v1 = v1 * w0 + b1 * w1 + c1 * w2
+            v2 = v2 * w0 + b2 * w1 + c2 * w2
+        else:
+            v0 = v0 * (1.0 - tm) + b0 * tm
+            v1 = v1 * (1.0 - tm) + b1 * tm
+            v2 = v2 * (1.0 - tm) + b2 * tm
     hit_t, tt, u, v = moller_trumbore(o, d, v0, v1, v2, t_min, t_max)
     vis = (geom.face_vis[tri] & vis_bit) != 0
     hit_t = hit_t & vis & is_tri
@@ -225,7 +257,7 @@ def _prim_intersect(geom: Geometry, prim: Array, o: Array, d: Array,
 
 
 def _traverse_one(bvh: BVH, geom: Geometry, o, d, t_min, t_max, exclude,
-                  vis_bit: int, any_hit: bool):
+                  vis_bit: int, any_hit: bool, time=None):
     """Single-ray stack traversal (vmapped). Returns (t, prim, uv, valid)."""
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                             jnp.where(d < 0, -1e-12, 1e-12), d)
@@ -254,7 +286,7 @@ def _traverse_one(bvh: BVH, geom: Geometry, o, d, t_min, t_max, exclude,
         prim = bvh.prim_order[jnp.clip(prim_sorted, 0,
                                        bvh.prim_order.shape[0] - 1)]
         ph, pt, puv = _prim_intersect(
-            geom, prim, o, d, t_min, best_t, vis_bit, exclude)
+            geom, prim, o, d, t_min, best_t, vis_bit, exclude, time=time)
         do_prim = hit_box & is_leaf
         better = do_prim & ph & (pt < best_t)
         best_t = jnp.where(better, pt, best_t)
@@ -291,31 +323,41 @@ def _traverse_one(bvh: BVH, geom: Geometry, o, d, t_min, t_max, exclude,
 
 @partial(jax.jit, static_argnums=(5, 6))
 def _traverse_batch(bvh, geom, o, d, args, vis_bit: int, any_hit_mode: bool):
-    t_min, t_max, exclude = args
-    f = jax.vmap(lambda oo, dd, tn, tf, ex: _traverse_one(
-        bvh, geom, oo, dd, tn, tf, ex, vis_bit, any_hit_mode))
-    return f(o, d, t_min, t_max, exclude)
+    t_min, t_max, exclude = args[:3]
+    time = args[3] if len(args) > 3 else None
+    if time is None:
+        f = jax.vmap(lambda oo, dd, tn, tf, ex: _traverse_one(
+            bvh, geom, oo, dd, tn, tf, ex, vis_bit, any_hit_mode))
+        return f(o, d, t_min, t_max, exclude)
+    f = jax.vmap(lambda oo, dd, tn, tf, ex, tm: _traverse_one(
+        bvh, geom, oo, dd, tn, tf, ex, vis_bit, any_hit_mode, time=tm))
+    return f(o, d, t_min, t_max, exclude,
+             jnp.broadcast_to(jnp.asarray(time, jnp.float32), o.shape[:-1]))
 
 
 def traverse_closest(scene: SceneData, o, d, t_min, t_max,
                      exclude_prim: Optional[Array] = None,
-                     shadow: bool = False):
+                     shadow: bool = False, time=None):
     from ..ops.intersect import Hit
     n = o.shape[0]
     exclude = (exclude_prim if exclude_prim is not None
                else jnp.full((n,), -1, jnp.int32))
     vis_bit = 2 if shadow else 1
+    args = ((t_min, t_max, exclude) if time is None
+            else (t_min, t_max, exclude, time))
     bt, bp, buv = _traverse_batch(scene.bvh, scene.geom, o, d,
-                                  (t_min, t_max, exclude), vis_bit, False)
+                                  args, vis_bit, False)
     valid = bp >= 0
     return Hit(valid=valid, t=bt, prim=jnp.maximum(bp, 0), uv=buv)
 
 
 def traverse_any(scene: SceneData, o, d, t_min, t_max,
-                 exclude_prim: Optional[Array] = None):
+                 exclude_prim: Optional[Array] = None, time=None):
     n = o.shape[0]
     exclude = (exclude_prim if exclude_prim is not None
                else jnp.full((n,), -1, jnp.int32))
+    args = ((t_min, t_max, exclude) if time is None
+            else (t_min, t_max, exclude, time))
     bt, bp, buv = _traverse_batch(scene.bvh, scene.geom, o, d,
-                                  (t_min, t_max, exclude), 2, True)
+                                  args, 2, True)
     return bp >= 0

@@ -70,6 +70,45 @@ LAYER_CHANNELS = {
     "toon": 3,
     "reflect": 3,
     "refract": 3,
+    # adv-* layers (layer_definitions.cc:53-98): per-BSDF-family direct
+    # splits, first-bounce-lobe indirect splits, photon radiance, perfect
+    # specular pair, volume decomposition
+    "adv-diffuse-color": 3,
+    "adv-diffuse-indirect": 3,
+    "adv-glossy": 3,
+    "adv-glossy-color": 3,
+    "adv-glossy-indirect": 3,
+    "adv-indirect": 3,
+    "adv-radiance": 3,
+    "adv-reflect": 3,
+    "adv-refract": 3,
+    "adv-subsurface": 3,
+    "adv-subsurface-color": 3,
+    "adv-subsurface-indirect": 3,
+    "adv-surface-integration": 3,
+    "adv-trans": 3,
+    "adv-trans-color": 3,
+    "adv-trans-indirect": 3,
+    "adv-volume-integration": 3,
+    "adv-volume-transmittance": 1,
+    # index-mask composites
+    "mat-index-mask-all": 3,
+    "mat-index-mask-shadow": 3,
+    "obj-index-mask-all": 3,
+    "obj-index-mask-shadow": 3,
+    # debug layers (layer_definitions.cc:29-52)
+    "debug-dp-lengths": 3,
+    "debug-dudx-dvdx": 3,
+    "debug-dudy-dvdy": 3,
+    "debug-dudxy-dvdxy": 3,
+    "debug-light-estimation-light-dirac": 3,
+    "debug-light-estimation-light-sampling": 3,
+    "debug-light-estimation-mat-sampling": 3,
+    "debug-sampling-factor": 1,
+    # reference-name aliases for layers whose short names predate them
+    "debug-uv": 3,
+    "debug-normal-geom": 3,
+    "debug-normal-smooth": 3,
 }
 
 

@@ -66,17 +66,23 @@ def estimate_one_light(scene: SceneData, sp, wo: Array, li: Array,
                        u1: Array, u2: Array,
                        transparent_shadows: int = 0,
                        pick_pdf: Array | float = 1.0,
-                       time=None, with_shadow_info: bool = False):
+                       time=None, with_shadow_info: bool = False,
+                       with_family_split: bool = False):
     """One-sample NEE toward light index `li` with MIS against BSDF sampling
     (areaLightSampleLight analogue). Returns radiance contribution [N,3];
     with_shadow_info additionally returns the UNSHADOWED contribution (the
     reference's shadow layer accumulates col_shadow = unoccluded - occluded
-    during doLightEstimation)."""
+    during doLightEstimation); with_family_split additionally returns a dict
+    of per-BSDF-family and per-estimation-technique contributions for the
+    adv-* / debug-light-estimation-* AOV layers."""
     ls = L.sample_light(scene, li, sp.p, sp.n, u1, u2)
     cos_s = vec.dot(ls.wi, sp.n)
     # allow transmission through for translucent/transmissive materials:
     # eval_bsdf returns 0 where the lobe doesn't exist, so no explicit cull
-    f, bsdf_pdf = B.eval_bsdf(scene, sp, wo, ls.wi)
+    if with_family_split:
+        f, bsdf_pdf, fam_f = B.eval_bsdf(scene, sp, wo, ls.wi, split=True)
+    else:
+        f, bsdf_pdf = B.eval_bsdf(scene, sp, wo, ls.wi)
     potential = ls.valid & sp.valid & (jnp.max(f, axis=-1) > 0.0)
     shadow_needed = potential & ((scene.lights.flags[li] & L.FLAG_CAST_SHADOWS) != 0)
     tr = trace_shadow(scene, sp.p, sp.prim, ls.wi, ls.dist,
@@ -85,9 +91,21 @@ def estimate_one_light(scene: SceneData, sp, wo: Array, li: Array,
     tr = jnp.where(no_shadow_test[..., None], 1.0, tr)
     mis_w = jnp.where(ls.is_dirac, 1.0,
                       vec.power_heuristic(ls.pdf * pick_pdf, bsdf_pdf))
-    base = (f * ls.radiance
-            * (jnp.abs(cos_s) * mis_w / (ls.pdf * pick_pdf))[..., None])
+    k = (ls.radiance
+         * (jnp.abs(cos_s) * mis_w / (ls.pdf * pick_pdf))[..., None])
+    base = f * k
     contrib = jnp.where(potential[..., None], base * tr, 0.0)
+    if with_family_split:
+        pot = potential[..., None]
+        fam = {name: jnp.where(pot, fam_f[name] * k * tr, 0.0)
+               for name in fam_f}
+        fam["diffuse-noshadow"] = jnp.where(pot, fam_f["diffuse"] * k, 0.0)
+        dirac = ls.is_dirac[..., None]
+        fam["light-dirac"] = jnp.where(dirac, contrib, 0.0)
+        fam["light-sampling"] = jnp.where(dirac, 0.0, contrib)
+        if with_shadow_info:
+            return contrib, jnp.where(pot, base, 0.0), fam
+        return contrib, fam
     if with_shadow_info:
         return contrib, jnp.where(potential[..., None], base, 0.0)
     return contrib

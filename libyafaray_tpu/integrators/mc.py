@@ -221,13 +221,36 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     # integration, not derived from the first hit)
     want_env = "env" in cfg.aov_layers
     want_ind = any(l_ in cfg.aov_layers for l_ in
-                   ("indirect", "diffuse-indirect", "glossy-indirect"))
-    want_shadow = "shadow" in cfg.aov_layers
+                   ("indirect", "diffuse-indirect", "glossy-indirect",
+                    "adv-indirect", "adv-diffuse-indirect",
+                    "adv-glossy-indirect", "adv-trans-indirect",
+                    "adv-subsurface-indirect"))
+    want_shadow = ("shadow" in cfg.aov_layers
+                   or "mat-index-mask-shadow" in cfg.aov_layers
+                   or "obj-index-mask-shadow" in cfg.aov_layers)
+    # per-BSDF-family + per-technique direct-light splits at the first hit
+    # (ColorLayerAccum in doLightEstimation, integrator_montecarlo.cc)
+    want_family = any(l_ in cfg.aov_layers for l_ in
+                      ("diffuse", "diffuse-noshadow", "adv-glossy",
+                       "adv-trans", "adv-subsurface",
+                       "debug-light-estimation-light-dirac",
+                       "debug-light-estimation-light-sampling"))
+    want_matsamp = "debug-light-estimation-mat-sampling" in cfg.aov_layers
     env_acc = jnp.zeros((n, 3), jnp.float32) if (want_env or want_ind) \
         else None
     shadow_acc = jnp.zeros((n, 3), jnp.float32) if want_shadow else None
+    fam_acc = ({k: jnp.zeros((n, 3), jnp.float32)
+                for k in ("diffuse", "glossy", "trans", "subsurface",
+                          "diffuse-noshadow", "light-dirac",
+                          "light-sampling")}
+               if want_family else None)
+    matsamp_acc = jnp.zeros((n, 3), jnp.float32) if want_matsamp else None
     env_d0 = None
     first_lobe = jnp.full((n,), -1, jnp.int32)
+    first_mat_id = jnp.zeros((n,), jnp.int32)
+    first_obj_id = jnp.zeros((n,), jnp.int32)
+    first_valid = jnp.zeros((n,), bool)
+    path_kind_all = jnp.zeros((n,), jnp.int32)
 
     # light pick pdf for the path tracer's uniform pick
     # (estimateOneDirectLight, integrator_montecarlo.cc:70)
@@ -266,6 +289,9 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         if depth == 0:
             aux = _first_hit_layers(scene, cfg, sp, d)
             first_hit_t = jnp.where(hit.valid, hit.t, first_hit_t)
+            first_mat_id = sp.mat_id
+            first_obj_id = sp.obj_id
+            first_valid = sp.valid
         alpha = jnp.where(hit.valid & (depth == 0), 1.0, alpha)
         # keep alpha 1 for lanes that bounced at least once then escaped
         alpha = jnp.where((depth > 0) & alive, jnp.maximum(alpha, 1.0), alpha)
@@ -278,6 +304,13 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         emit = common.emitted_radiance(scene, sp, wo)
         radiance = radiance + jnp.where(alive[..., None],
                                         throughput * emit * mis_w[..., None], 0.0)
+        if want_matsamp and depth > 0:
+            # BSDF-sampled (material-sampling) share of the light estimate:
+            # emission reached by a sampled non-delta bounce, MIS-weighted
+            # (DebugLightEstimationMatSampling, areaLightSampleMaterial)
+            matsamp_acc = matsamp_acc + jnp.where(
+                (alive & ~prev_delta)[..., None],
+                throughput * emit * mis_w[..., None], 0.0)
         # standalone area-light quads (face_obj == -1) are pure emitters: the
         # reference intersects lights separately from scene geometry
         # (AreaLight::intersect, light_area.cc:137) and never scatters off them
@@ -285,43 +318,45 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
 
         # --- next-event estimation ---
         if num_lights > 0 and depth <= cfg.bounces:
+            want_si = want_shadow and depth == 0
+            want_fs = want_family and depth == 0
             if sample_all:
+                nee_iters = []
                 for li_static in range(num_lights):
-                    li = jnp.full((n,), li_static, jnp.int32)
                     u1, u2 = sampler.rand2(pixel_id, sample_idx,
                                            depth, 10 + 2 * li_static)
-                    if want_shadow and depth == 0:
-                        c, c_unsh = common.estimate_one_light(
-                            scene, sp, wo, li, u1, u2,
-                            cfg.transparent_shadows, time=ray_time,
-                            with_shadow_info=True)
-                        shadow_acc = shadow_acc + jnp.where(
-                            alive[..., None], c_unsh - c, 0.0)
-                    else:
-                        c = common.estimate_one_light(
-                            scene, sp, wo, li, u1, u2,
-                            cfg.transparent_shadows, time=ray_time)
-                    radiance = radiance + jnp.where(alive[..., None],
-                                                    throughput * c, 0.0)
+                    nee_iters.append((jnp.full((n,), li_static, jnp.int32),
+                                      u1, u2, 1.0))
             else:
                 ul, u1, u2, _ = jnp.moveaxis(
                     sampler.rand4(pixel_id, sample_idx, depth, 10), -1, 0)
                 li = jnp.clip((ul * num_lights).astype(jnp.int32), 0,
                               num_lights - 1)
-                if want_shadow and depth == 0:
-                    c, c_unsh = common.estimate_one_light(
-                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
-                        pick_pdf=1.0 / num_lights, time=ray_time,
-                        with_shadow_info=True)
+                nee_iters = [(li, u1, u2, 1.0 / num_lights)]
+            for li, u1, u2, pick in nee_iters:
+                res = common.estimate_one_light(
+                    scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
+                    pick_pdf=pick, time=ray_time,
+                    with_shadow_info=want_si, with_family_split=want_fs)
+                fam = None
+                c_unsh = None
+                if want_si and want_fs:
+                    c, c_unsh, fam = res
+                elif want_fs:
+                    c, fam = res
+                elif want_si:
+                    c, c_unsh = res
+                else:
+                    c = res
+                radiance = radiance + jnp.where(alive[..., None],
+                                                throughput * c, 0.0)
+                if want_si:
                     shadow_acc = shadow_acc + jnp.where(
                         alive[..., None], c_unsh - c, 0.0)
-                else:
-                    c = common.estimate_one_light(
-                        scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
-                        pick_pdf=1.0 / num_lights, time=ray_time)
-                radiance = radiance + jnp.where(alive[..., None],
-                                                throughput * c * num_lights
-                                                * (1.0 / num_lights), 0.0)
+                if want_fs:
+                    for k_ in fam_acc:
+                        fam_acc[k_] = fam_acc[k_] + jnp.where(
+                            alive[..., None], throughput * fam[k_], 0.0)
 
         # --- photon-map estimates at diffuse hits (photonmapping mode) ---
         if photon_mode:
@@ -340,6 +375,10 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                                        scene.photons.n_emitted)
             radiance = radiance + jnp.where(alive[..., None],
                                             throughput * (ind + cau), 0.0)
+            if "adv-radiance" in cfg.aov_layers and depth == 0:
+                # photon/FG radiance estimate at the primary hit
+                # (Type::Radiance layer, the FG cache view)
+                aux["adv-radiance"] = jnp.where(alive[..., None], ind, 0.0)
 
         # --- ambient occlusion (direct-light integrator option) ---
         if cfg.use_ao and depth == 0:
@@ -375,6 +414,11 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
             path_kind = jnp.where(spec0, jnp.where(transmitted, 2, 1), 0)
             if ms.lobe is not None:
                 first_lobe = jnp.where(alive & ms.valid, ms.lobe, -1)
+                # ReflectAll/RefractAll classification: any non-diffuse
+                # first bounce (delta or microfacet), split by side
+                nondiff = alive & ms.valid & (ms.lobe != 3) & (ms.lobe != 4)
+                path_kind_all = jnp.where(
+                    nondiff, jnp.where(transmitted, 2, 1), 0)
         cont = alive & ms.valid
         if direct_only or cfg.no_recursive:
             # only specular/delta continuation (recursiveRaytrace analogue)
@@ -417,26 +461,96 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         indirect = radiance - radiance_d0 - env_after_d0
         if "indirect" in cfg.aov_layers:
             aux["indirect"] = indirect
-        if "diffuse-indirect" in cfg.aov_layers:
-            m_ = (first_lobe == 3) | (first_lobe == 4)
-            aux["diffuse-indirect"] = jnp.where(m_[..., None], indirect, 0.0)
-        if "glossy-indirect" in cfg.aov_layers:
-            aux["glossy-indirect"] = jnp.where(
-                (first_lobe == 2)[..., None], indirect, 0.0)
-    if max_depth > 1 and ("reflect" in cfg.aov_layers
-                          or "refract" in cfg.aov_layers):
+
+        def lobe_split(*lobes):
+            m_ = jnp.zeros_like(first_lobe, bool)
+            for lb in lobes:
+                m_ = m_ | (first_lobe == lb)
+            return jnp.where(m_[..., None], indirect, 0.0)
+
+        # first-bounce-lobe splits (reference adv-*-indirect layers);
+        # lobe ids: 0 delta-reflect, 1 delta-transmit, 2 microfacet,
+        # 3 diffuse, 4 translucent
+        for name, lobes in (("diffuse-indirect", (3,)),
+                            ("adv-diffuse-indirect", (3,)),
+                            ("glossy-indirect", (2,)),
+                            ("adv-glossy-indirect", (2,)),
+                            ("adv-trans-indirect", (1,)),
+                            ("adv-subsurface-indirect", (4,)),
+                            # Type::Indirect: light arriving via a first
+                            # specular/delta bounce (caustic-like paths)
+                            ("adv-indirect", (0, 1))):
+            if name in cfg.aov_layers:
+                aux[name] = lobe_split(*lobes)
+    if max_depth > 1 and any(l_ in cfg.aov_layers for l_ in
+                             ("reflect", "refract", "adv-reflect",
+                              "adv-refract")):
         extra = radiance - radiance_d0
+        # reflect/refract = ReflectAll/RefractAll (any non-diffuse first
+        # bounce); adv-reflect/adv-refract = the Perfect (delta-only) pair
         if "reflect" in cfg.aov_layers:
-            aux["reflect"] = jnp.where((path_kind == 1)[..., None], extra, 0.0)
+            aux["reflect"] = jnp.where((path_kind_all == 1)[..., None],
+                                       extra, 0.0)
         if "refract" in cfg.aov_layers:
-            aux["refract"] = jnp.where((path_kind == 2)[..., None], extra, 0.0)
+            aux["refract"] = jnp.where((path_kind_all == 2)[..., None],
+                                       extra, 0.0)
+        if "adv-reflect" in cfg.aov_layers:
+            aux["adv-reflect"] = jnp.where((path_kind == 1)[..., None],
+                                           extra, 0.0)
+        if "adv-refract" in cfg.aov_layers:
+            aux["adv-refract"] = jnp.where((path_kind == 2)[..., None],
+                                           extra, 0.0)
+    if want_family:
+        for src, name in (("diffuse", "diffuse"),
+                          ("diffuse-noshadow", "diffuse-noshadow"),
+                          ("glossy", "adv-glossy"),
+                          ("trans", "adv-trans"),
+                          ("subsurface", "adv-subsurface"),
+                          ("light-dirac",
+                           "debug-light-estimation-light-dirac"),
+                          ("light-sampling",
+                           "debug-light-estimation-light-sampling")):
+            if name in cfg.aov_layers:
+                aux[name] = fam_acc[src]
+    if want_matsamp:
+        aux["debug-light-estimation-mat-sampling"] = matsamp_acc
+    # index-mask composites (MatIndexMaskAll/Shadow, generateCommonLayers)
+    for prefix, ids, want_idx in (("mat", first_mat_id, cfg.mask_mat_index),
+                                  ("obj", first_obj_id, cfg.mask_obj_index)):
+        m_all = f"{prefix}-index-mask-all"
+        m_sh = f"{prefix}-index-mask-shadow"
+        if m_all in cfg.aov_layers or m_sh in cfg.aov_layers:
+            msk = first_valid & (ids == want_idx)
+            if cfg.mask_invert:
+                msk = first_valid & ~msk
+            if m_all in cfg.aov_layers:
+                aux[m_all] = jnp.where(msk[..., None], radiance, 0.0)
+            if m_sh in cfg.aov_layers:
+                aux[m_sh] = jnp.where(msk[..., None], shadow_acc, 0.0)
     # volumetric wrap-up over the camera segment (applyVolumetricEffects,
     # integrator_tiled.cc:694): L = T(seg) * L_surface + L_volume(seg)
+    want_volparts = any(l_ in cfg.aov_layers for l_ in
+                        ("adv-surface-integration", "adv-volume-integration",
+                         "adv-volume-transmittance"))
+    if want_volparts:
+        aux["adv-surface-integration"] = radiance
     if (scene.volumes is not None or cfg.vol_kind == "sky") \
             and cfg.vol_kind != "none":
         from .volume import apply_volumetric
-        radiance = apply_volumetric(scene, cfg, radiance, ray_o, ray_d,
-                                    first_hit_t, pixel_id, sample_idx)
+        if want_volparts:
+            tr_seg, vol_add = apply_volumetric(
+                scene, cfg, radiance, ray_o, ray_d, first_hit_t,
+                pixel_id, sample_idx, return_parts=True)
+            radiance = tr_seg * radiance + vol_add
+            aux["adv-volume-integration"] = vol_add
+            aux["adv-volume-transmittance"] = jnp.mean(
+                tr_seg * jnp.ones((n, 3)), axis=-1, keepdims=True)
+        else:
+            radiance = apply_volumetric(scene, cfg, radiance, ray_o, ray_d,
+                                        first_hit_t, pixel_id, sample_idx)
+    elif want_volparts:
+        aux["adv-volume-integration"] = jnp.zeros((n, 3), jnp.float32)
+        aux["adv-volume-transmittance"] = jnp.ones((n, 1), jnp.float32)
     return radiance, alpha, aux
 
 
@@ -524,9 +638,43 @@ def _first_hit_layers(scene, cfg, sp, d) -> Dict[str, Array]:
                 m = ~m
             out[name] = jnp.where(v & m[..., None], jnp.ones(3),
                                   jnp.zeros(3))
-        elif name in ("diffuse", "diffuse-noshadow"):
-            out[name] = _direct_diffuse_layer(
-                scene, cfg, sp, -d, shadowed=(name == "diffuse"))
+        elif name == "debug-uv":
+            out[name] = jnp.where(v, jnp.concatenate(
+                [sp.uv, jnp.zeros_like(sp.uv[..., :1])], -1), 0.0)
+        elif name == "debug-normal-geom":
+            out[name] = jnp.where(v, sp.ng * 0.5 + 0.5, 0.0)
+        elif name == "debug-normal-smooth":
+            out[name] = jnp.where(v, sp.n * 0.5 + 0.5, 0.0)
+        elif name == "adv-diffuse-color":
+            mp = B.resolve_mp(scene, sp)
+            out[name] = jnp.where(v, mp.diffuse_color, 0.0)
+        elif name == "adv-glossy-color":
+            mp = B.resolve_mp(scene, sp)
+            out[name] = jnp.where(v, mp.glossy_color, 0.0)
+        elif name == "adv-trans-color":
+            mp = B.resolve_mp(scene, sp)
+            out[name] = jnp.where(v, mp.filter_color, 0.0)
+        elif name == "adv-subsurface-color":
+            mp = B.resolve_mp(scene, sp)
+            out[name] = jnp.where(
+                v, mp.translucency[..., None] * mp.diffuse_color, 0.0)
+        elif name == "debug-sampling-factor":
+            sf = scene.materials.sampling_factor[sp.mat_id]
+            out[name] = jnp.where(v, sf[..., None], 0.0)
+        elif name == "debug-dp-lengths":
+            out[name] = jnp.where(v, jnp.stack(
+                [vec.length(sp.dp_du), vec.length(sp.dp_dv),
+                 jnp.zeros_like(sp.t)], -1), 0.0)
+        elif name == "debug-dudx-dvdx" and sp.duv_dx is not None:
+            out[name] = jnp.where(v, jnp.concatenate(
+                [sp.duv_dx, jnp.zeros_like(sp.duv_dx[..., :1])], -1), 0.0)
+        elif name == "debug-dudy-dvdy" and sp.duv_dy is not None:
+            out[name] = jnp.where(v, jnp.concatenate(
+                [sp.duv_dy, jnp.zeros_like(sp.duv_dy[..., :1])], -1), 0.0)
+        elif name == "debug-dudxy-dvdxy" and sp.duv_dx is not None:
+            duv = sp.duv_dx + sp.duv_dy
+            out[name] = jnp.where(v, jnp.concatenate(
+                [duv, jnp.zeros_like(duv[..., :1])], -1), 0.0)
         elif name == "ao-clay":
             pass  # filled by the AO estimate in the main loop when do_AO
     return out
@@ -539,29 +687,6 @@ def _auto_index_color(idx) -> Array:
     g = ((h >> 10) & 0x3FF).astype(jnp.float32) / 1023.0
     b = ((h >> 20) & 0x3FF).astype(jnp.float32) / 1023.0
     return jnp.stack([r, g, b], -1)
-
-
-def _direct_diffuse_layer(scene, cfg, sp, wo, shadowed: bool) -> Array:
-    """Direct diffuse estimate for the diffuse / diffuse-noshadow layers
-    (reference accumulates these during doLightEstimation)."""
-    num_lights = scene.lights.num_lights
-    if num_lights == 0:
-        return jnp.zeros(sp.p.shape, jnp.float32)
-    mp = B.resolve_mp(scene, sp)
-    albedo = mp.diffuse_color / jnp.pi
-    acc = jnp.zeros(sp.p.shape, jnp.float32)
-    for li in range(num_lights):
-        lidx = jnp.full(sp.p.shape[:1], li, jnp.int32)
-        ls = L.sample_light(scene, lidx, sp.p, sp.n,
-                            jnp.full(sp.p.shape[:1], 0.5),
-                            jnp.full(sp.p.shape[:1], 0.5))
-        cos_s = jnp.maximum(vec.dot(ls.wi, sp.n), 0.0)
-        tr = (common.trace_shadow(scene, sp.p, sp.prim, ls.wi, ls.dist)
-              if shadowed else jnp.ones_like(acc))
-        w = jnp.where(ls.valid & sp.valid,
-                      cos_s / jnp.maximum(ls.pdf, 1e-9), 0.0)
-        acc = acc + albedo * ls.radiance * tr * w[..., None]
-    return acc
 
 
 def _integrate_debug(scene, cfg, ray_o, ray_d, ray_valid):

@@ -279,15 +279,21 @@ def sky_in_scatter(scene: SceneData, cfg, o: Array, d: Array, t_hit: Array,
 
 def apply_volumetric(scene: SceneData, cfg, radiance: Array, o: Array,
                      d: Array, t_hit: Array, pixel_id: Array,
-                     sample_idx: Array) -> Array:
-    """applyVolumetricEffects analogue for the camera segment."""
+                     sample_idx: Array, return_parts: bool = False):
+    """applyVolumetricEffects analogue for the camera segment.
+    return_parts=True returns (transmittance, in_scatter) instead of the
+    composed radiance (for the adv-volume-* AOV layers)."""
     kind = getattr(cfg, "vol_kind", "single_scatter")
     if kind == "sky":
         tr = sky_transmittance(cfg, o, d, t_hit)
         vol = sky_in_scatter(scene, cfg, o, d, t_hit, pixel_id, sample_idx,
                              getattr(cfg, "vol_steps", DEFAULT_STEPS))
+        if return_parts:
+            return tr, vol
         return tr * radiance + vol
     if scene.volumes is None or scene.volumes.num_volumes == 0:
+        if return_parts:
+            return jnp.ones_like(radiance), jnp.zeros_like(radiance)
         return radiance
     kind = getattr(cfg, "vol_kind", "single_scatter")
     steps = getattr(cfg, "vol_steps", DEFAULT_STEPS)
@@ -307,4 +313,6 @@ def apply_volumetric(scene: SceneData, cfg, radiance: Array, o: Array,
     else:
         vol = in_scatter(scene, o, d, t_hit, pixel_id, sample_idx, steps,
                          getattr(cfg, "transparent_shadows", 0))
+    if return_parts:
+        return tr, vol
     return tr * radiance + vol

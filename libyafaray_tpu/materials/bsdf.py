@@ -271,8 +271,9 @@ def _from_local(sp, l):
     return vec.from_local(l, sp.nu, sp.nv, sp.n)
 
 
-def _eval_single(mp: MP, wo_l: Array, wi_l: Array):
-    """Non-delta f and solid-angle pdf for one parameter row per lane."""
+def _eval_single(mp: MP, wo_l: Array, wi_l: Array, split: bool = False):
+    """Non-delta f and solid-angle pdf for one parameter row per lane.
+    split=True adds per-family components (see eval_bsdf)."""
     cos_wo = jnp.abs(wo_l[..., 2])
     w_dr, w_dt, w_mf, w_di, w_tl = lobe_weights(mp, cos_wo)
     same_hemi = (wo_l[..., 2] * wi_l[..., 2]) > 0.0
@@ -317,26 +318,53 @@ def _eval_single(mp: MP, wo_l: Array, wi_l: Array):
     f = f_di + f_tl + f_mf
     w_sum = w_dr + w_dt + w_mf + w_di + w_tl
     pdf = (w_di * pdf_di + w_tl * pdf_tl + w_mf * pdf_mf) / jnp.maximum(w_sum, 1e-6)
+    if split:
+        # per-BSDF-family components for the adv-* AOV layers
+        # (doLightEstimation's ColorLayerAccum splits, integrator_montecarlo.cc)
+        is_rg = (ty == MAT_ROUGH_GLASS)[..., None] if has_rg \
+            else jnp.zeros_like(f[..., :1], bool)
+        fam = {"diffuse": f_di,
+               "glossy": jnp.where(is_rg, 0.0, f_mf),
+               "trans": jnp.where(is_rg, f_mf, 0.0),
+               "subsurface": f_tl}
+        return f, pdf, fam
     return f, pdf
 
 
-def eval_bsdf(scene: SceneData, sp, wo: Array, wi: Array):
-    """f(wo, wi) of non-delta lobes + solid-angle pdf (Material::eval/pdf)."""
+def eval_bsdf(scene: SceneData, sp, wo: Array, wi: Array, split: bool = False):
+    """f(wo, wi) of non-delta lobes + solid-angle pdf (Material::eval/pdf).
+    With split=True additionally returns per-family components
+    (diffuse/glossy/trans/subsurface) for the adv-* AOV layers."""
     mats = scene.materials
     mp = resolve_mp(scene, sp)
     wo_l = _to_local(sp, wo)
     wi_l = _to_local(sp, wi)
-    f, pdf = _eval_single(mp, wo_l, wi_l)
+    if split:
+        f, pdf, fam = _eval_single(mp, wo_l, wi_l, split=True)
+    else:
+        f, pdf = _eval_single(mp, wo_l, wi_l)
+        fam = None
     if mats.has_blend:
-        mp_a = resolve_mp(scene, sp, mats.blend_a[sp.mat_id])
-        mp_b = resolve_mp(scene, sp, mats.blend_b[sp.mat_id])
-        f_a, pdf_a = _eval_single(mp_a, wo_l, wi_l)
-        f_b, pdf_b = _eval_single(mp_b, wo_l, wi_l)
         bl = blend_factor(scene, sp)
         is_blend = mp.mat_type == MAT_BLEND
+        mp_a = resolve_mp(scene, sp, mats.blend_a[sp.mat_id])
+        mp_b = resolve_mp(scene, sp, mats.blend_b[sp.mat_id])
+        if split:
+            f_a, pdf_a, fam_a = _eval_single(mp_a, wo_l, wi_l, split=True)
+            f_b, pdf_b, fam_b = _eval_single(mp_b, wo_l, wi_l, split=True)
+            for k in fam:
+                fam[k] = jnp.where(
+                    is_blend[..., None],
+                    fam_a[k] * (1.0 - bl[..., None]) + fam_b[k] * bl[..., None],
+                    fam[k])
+        else:
+            f_a, pdf_a = _eval_single(mp_a, wo_l, wi_l)
+            f_b, pdf_b = _eval_single(mp_b, wo_l, wi_l)
         f = jnp.where(is_blend[..., None],
                       f_a * (1.0 - bl[..., None]) + f_b * bl[..., None], f)
         pdf = jnp.where(is_blend, pdf_a * (1.0 - bl) + pdf_b * bl, pdf)
+    if split:
+        return f, pdf, fam
     return f, pdf
 
 

@@ -294,10 +294,10 @@ def closest_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
                 exclude_prim: Optional[Array] = None,
                 time: Optional[Array] = None) -> Hit:
     """Closest-hit query over the whole scene (Accelerator::intersect).
-    Motion-blurred scenes (geom.has_motion) run through the brute path or
-    the block accelerator (whose AABBs are unions over all motion control
-    points); the LBVH is built over t=0 bounds only, so motion scenes fall
-    back to brute when `scene_accelerator: "bvh"` is forced."""
+    Motion-blurred scenes (geom.has_motion) work on every accelerator:
+    blocks and LBVH both build AABBs as unions over all motion control
+    points and interpolate vertices (lerp / quadratic b-spline) per-ray
+    at leaf-test time."""
     # detached sampling applies to inputs too: every hit output is already
     # stop_gradient'ed (see _detach_hit), so detaching the query rays here
     # changes no gradient — but it keeps differentiated bounce directions
@@ -316,17 +316,18 @@ def closest_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
         return _detach_hit(blocks_closest(
             scene, o, d, t_min, t_max, exclude_prim,
             time=time if scene.geom.has_motion else None))
-    if (scene.accel_kind == "bvh" and scene.bvh is not None
-            and not scene.geom.has_motion):
-        return _detach_hit(lbvh_closest(scene, o, d, t_min, t_max,
-                                        exclude_prim))
+    if scene.accel_kind == "bvh" and scene.bvh is not None:
+        return _detach_hit(lbvh_closest(
+            scene, o, d, t_min, t_max, exclude_prim,
+            time=time if scene.geom.has_motion else None))
     return _detach_hit(_brute_closest(scene.geom, o, d, t_min, t_max,
                                       exclude_prim, time=time))
 
 
-def lbvh_closest(scene, o, d, t_min, t_max, exclude_prim):
+def lbvh_closest(scene, o, d, t_min, t_max, exclude_prim, time=None):
     from ..accel import lbvh
-    return lbvh.traverse_closest(scene, o, d, t_min, t_max, exclude_prim)
+    return lbvh.traverse_closest(scene, o, d, t_min, t_max, exclude_prim,
+                                 time=time)
 
 
 def any_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
@@ -347,10 +348,11 @@ def any_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
         from ..accel.blocks import blocks_any
         return blocks_any(scene, o, d, t_min, t_max, exclude_prim,
                           time=time if scene.geom.has_motion else None)
-    if (scene.accel_kind == "bvh" and scene.bvh is not None
-            and not scene.geom.has_motion):
+    if scene.accel_kind == "bvh" and scene.bvh is not None:
         from ..accel import lbvh
-        return lbvh.traverse_any(scene, o, d, t_min, t_max, exclude_prim)
+        return lbvh.traverse_any(
+            scene, o, d, t_min, t_max, exclude_prim,
+            time=time if scene.geom.has_motion else None)
     return _brute_any(scene.geom, o, d, t_min, t_max, exclude_prim,
                       time=time)
 

@@ -492,3 +492,65 @@ def test_adaptive_aa_dark_and_variance_criteria():
     film3 = film.replace(weights=jnp.zeros((h, w), jnp.float32))
     m3 = np.asarray(compute_resample_mask(film3, AAParams(threshold=0.05)))
     assert m3.min() == 1.0
+
+
+def test_aov_adv_family_splits():
+    """adv-* direct family splits + light-estimation technique splits
+    (doLightEstimation ColorLayerAccum, integrator_montecarlo.cc):
+    with a directlighting integrator on an area-lit cornell,
+    combined == emit + light-sampling estimate (dirac part 0), the
+    diffuse family carries all of it on diffuse walls, and the glossy
+    family is nonzero only when a glossy material is present."""
+    from scenes import _box
+    layers = ["combined", "emit", "diffuse", "adv-glossy",
+              "debug-light-estimation-light-dirac",
+              "debug-light-estimation-light-sampling",
+              "mat-index-mask-all"]
+    b = cornell_builder()
+    b.cameras["cam"]["resx"] = 24
+    b.cameras["cam"]["resy"] = 24
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting",
+                           "layer_mask_mat_index": 1})
+    film = render(scene, cfg, 24, 24, spp=4, layer_names=layers)
+    comb = np.asarray(F.resolve(film, "combined"))[..., :3]
+    emit = np.asarray(F.resolve(film, "emit"))
+    diff = np.asarray(F.resolve(film, "diffuse"))
+    dirac = np.asarray(F.resolve(film, "debug-light-estimation-light-dirac"))
+    samp = np.asarray(F.resolve(film, "debug-light-estimation-light-sampling"))
+    glossy = np.asarray(F.resolve(film, "adv-glossy"))
+    # area light only: no dirac contribution, no glossy lobes in scene
+    assert dirac.sum() == 0.0
+    assert glossy.sum() == 0.0
+    # closure: combined = emit + NEE estimate, all through the sampling
+    # technique and all through the diffuse family
+    assert np.allclose(comb, emit + samp, atol=1e-4)
+    assert np.allclose(samp, diff, atol=1e-4)
+    # mask-all: combined where mat_id==1, zero elsewhere, nothing else
+    mask_all = np.asarray(F.resolve(film, "mat-index-mask-all"))
+    nz = mask_all.sum(-1) > 0
+    assert nz.any() and not nz.all()
+    # masked pixels show at most the combined value (equality on pixels
+    # fully covered by the masked material; edge pixels mix materials
+    # across subsamples)
+    assert (mask_all[nz] <= comb[nz] + 1e-5).all()
+    full = np.isclose(mask_all[nz], comb[nz], atol=1e-5).all(-1)
+    assert full.mean() > 0.5, "most masked pixels should be full-coverage"
+
+    # glossy family activates with a glossy material present
+    b2 = cornell_builder(extras=[("gl", {"type": "glossy",
+                                         "exponent": 25.0,
+                                         "glossy_reflect": 0.8,
+                                         "diffuse_reflect": 0.1,
+                                         "color": (0.8, 0.8, 0.8)})])
+    b2.create_object("slab")
+    b2.set_current_material("gl")
+    # low box: its light-facing top face is visible from the camera
+    # (a tall box only shows side faces pointing away from the light)
+    _box(b2, (0.35, 0.35, 0.0), (0.3, 0.2, 0.25))
+    b2.cameras["cam"]["resx"] = 24
+    b2.cameras["cam"]["resy"] = 24
+    scene2 = b2.compile("cam")
+    film2 = render(scene2, make_integrator({"type": "directlighting"}),
+                   24, 24, spp=4, layer_names=["combined", "adv-glossy"])
+    assert np.asarray(F.resolve(film2, "adv-glossy")).sum() > 1e-3

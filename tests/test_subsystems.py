@@ -443,3 +443,46 @@ def test_xml_roundtrip_renders_identically(tmp_path):
     i2 = np.asarray(F.resolve(render(b2.compile("cam"), cfg, spp=2),
                               "combined"))
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_motion_blur_lbvh_matches_brute():
+    """The LBVH motion path (union-of-control-point AABBs + per-ray
+    b-spline vertex interpolation at leaf tests) must agree with the
+    brute-force oracle — the same parity the block accelerator has."""
+    from libyafaray_tpu.ops import intersect as I
+    from libyafaray_tpu.accel.lbvh import build_lbvh
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    b = cornell_builder()
+    b.create_object("cloud")
+    b.set_current_material("white")
+    f = 120
+    vtx = rng.random((f * 3, 3)).astype(np.float32) * 0.8 + 0.1
+    for p in vtx:
+        b.add_vertex(*p)
+    for i in range(f):
+        b.add_triangle(3 * i, 3 * i + 1, 3 * i + 2)
+    for p in vtx:  # keyframe 1
+        b.add_vertex_time_step(p[0], p[1] + 0.2, p[2])
+    for p in vtx:  # keyframe 2 (quadratic)
+        b.add_vertex_time_step(p[0] - 0.15, p[1], p[2] + 0.1)
+    scene = b.compile("cam")
+    scene_v = scene.replace(bvh=build_lbvh(scene.geom), accel_kind="bvh")
+
+    n = 512
+    o = rng.random((n, 3)).astype(np.float32) * jnp.asarray([1, 0, 1]) \
+        + jnp.asarray([0.0, -0.5, 0.0])
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    tm = jnp.asarray(rng.random(n).astype(np.float32))
+    hb = I.closest_hit(scene, o, d, 1e-4, 1e30, time=tm)        # brute
+    hv = I.closest_hit(scene_v, o, d, 1e-4, 1e30, time=tm)      # lbvh
+    assert np.array_equal(np.asarray(hv.valid), np.asarray(hb.valid))
+    m = np.asarray(hb.valid)
+    assert m.sum() > 50
+    np.testing.assert_allclose(np.asarray(hv.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5, atol=1e-6)
+    # shadow query parity at random times
+    sv = I.any_hit(scene_v, o, d, 1e-4, 1.0, time=tm)
+    sb = I.any_hit(scene, o, d, 1e-4, 1.0, time=tm)
+    assert np.array_equal(np.asarray(sv), np.asarray(sb))
