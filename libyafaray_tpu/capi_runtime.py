@@ -139,7 +139,15 @@ def render_for_capi(builder, render_params: dict, outputs=None, layers=None,
                 stem, dot, ext = path.rpartition(".")
                 path = f"{stem}_{view}{dot}{ext}" if dot else f"{path}_{view}"
             lay = opm.get_string("layer", "combined")
-            save_image(path, resolved.get(lay, resolved["combined"]),
+            img_out = resolved.get(lay, resolved["combined"])
+            if opm.get_bool("denoise_enabled", False):
+                # ImageOutput denoise (image_output.cc:90-93 DenoiseParams)
+                from .io.postprocess import denoise
+                img_out = denoise(img_out,
+                                  hlum=opm.get_float("denoise_h_lum", 3.0),
+                                  hcol=opm.get_float("denoise_h_col", 3.0),
+                                  mix=opm.get_float("denoise_mix", 0.8))
+            save_image(path, img_out,
                        color_space=opm.get_string("color_space", "sRGB"),
                        gamma=opm.get_float("gamma", 1.0))
         if control.canceled:

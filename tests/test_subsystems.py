@@ -486,3 +486,32 @@ def test_motion_blur_lbvh_matches_brute():
     sv = I.any_hit(scene_v, o, d, 1e-4, 1.0, time=tm)
     sb = I.any_hit(scene, o, d, 1e-4, 1.0, time=tm)
     assert np.array_equal(np.asarray(sv), np.asarray(sb))
+
+
+def test_nlm_denoise_quality_and_sysinfo():
+    """NL-means denoiser (fastNlMeansDenoisingColored analogue): must cut
+    flat-region noise variance hard while keeping a hard edge sharp, and
+    honor the DenoiseParams mix blend. Plus the sysinfo/buildinfo module
+    (version_build_info.cc / sysinfo.cc analogue)."""
+    from libyafaray_tpu.io.postprocess import denoise
+    rng = np.random.default_rng(5)
+    clean = np.zeros((48, 48, 3), np.float32)
+    clean[:, 24:] = 0.8
+    noisy = clean + rng.normal(0, 0.04, clean.shape).astype(np.float32)
+    den = denoise(noisy, hlum=15.0, hcol=15.0, mix=1.0)
+    # flat-region residual noise drops by >2.5x
+    for sl in (np.s_[8:40, 4:20], np.s_[8:40, 28:44]):
+        assert den[sl].std() < noisy[sl].std() / 2.5
+    # the edge survives: mean step height preserved within 10%
+    step_n = den[:, 28:44].mean() - den[:, 4:20].mean()
+    assert abs(step_n - 0.8) < 0.08
+    # mix=0 returns the input
+    same = denoise(noisy, hlum=12.0, mix=0.0)
+    np.testing.assert_allclose(same[..., :3], noisy, atol=1e-6)
+
+    from libyafaray_tpu.utils import sysinfo
+    p = sysinfo.get_params()
+    assert p["version"].startswith("0.")
+    assert int(p["num_devices"]) >= 1
+    assert "jax" in p["compiler"]
+    assert sysinfo.sysinfo_string()
