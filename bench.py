@@ -253,16 +253,24 @@ def main():
             ntris = 2 * (res - 1) * (res - 1)
             extra["bigmesh_203k"] = {"rays_per_sec": round(rps, 1),
                                      "triangles": ntris, **info}
-            # same scene through the Karras LBVH (non-default accel), for
-            # the blocks-vs-LBVH perf record
-            b_bvh = bigmesh_builder(res)
-            b_bvh.set_render_params({"scene_accelerator": "bvh"})
-            rps_bvh, _ = _bench_render(
-                b_bvh, {"type": "pathtracing", "bounces": 2},
-                min(budget, 60), spp_target=4)
-            extra["bigmesh_203k"]["lbvh_rays_per_sec"] = round(rps_bvh, 1)
         except Exception as exc:
             extra["bigmesh_203k"] = {"error": str(exc)[:300]}
+        if os.environ.get("BENCH_LBVH", "1") != "0":
+            # same scene through the Karras LBVH (non-default accel), for
+            # the blocks-vs-LBVH perf record; isolated so a failure here
+            # never loses the production-path number
+            try:
+                from scenes import bigmesh_builder
+                b_bvh = bigmesh_builder(res)
+                b_bvh.set_render_params({"scene_accelerator": "bvh"})
+                rps_bvh, _ = _bench_render(
+                    b_bvh, {"type": "pathtracing", "bounces": 2},
+                    min(budget, 45), spp_target=4)
+                extra.setdefault("bigmesh_203k", {})[
+                    "lbvh_rays_per_sec"] = round(rps_bvh, 1)
+            except Exception as exc:
+                extra.setdefault("bigmesh_203k", {})[
+                    "lbvh_error"] = str(exc)[:200]
 
     if "glossy" in configs:
         try:
