@@ -94,13 +94,16 @@ def _render_pass_jit(scene, cfg, film, sample_idx, resample_mask):
 
 
 # darkThresholdCurveInterpolate (imagefilm.cc:799-816) as interp knots:
-# a piecewise-linear map from pixel brightness to the AA threshold
-_DARK_CURVE_X = jnp.asarray([0.10, 0.20, 0.30, 0.40, 0.50, 0.60, 0.70,
-                             0.80, 0.90, 1.00, 1.20, 1.40, 1.80],
-                            jnp.float32)
-_DARK_CURVE_Y = jnp.asarray([0.0001, 0.0010, 0.0020, 0.0035, 0.0055,
-                             0.0075, 0.0100, 0.0150, 0.0250, 0.0400,
-                             0.0800, 0.0950, 0.1000], jnp.float32)
+# a piecewise-linear map from pixel brightness to the AA threshold.
+# Kept as NUMPY arrays: a module-scope jnp constant would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# in the multi-host entry point (parallel/distributed.py).
+_DARK_CURVE_X = np.asarray([0.10, 0.20, 0.30, 0.40, 0.50, 0.60, 0.70,
+                            0.80, 0.90, 1.00, 1.20, 1.40, 1.80],
+                           np.float32)
+_DARK_CURVE_Y = np.asarray([0.0001, 0.0010, 0.0020, 0.0035, 0.0055,
+                            0.0075, 0.0100, 0.0150, 0.0250, 0.0400,
+                            0.0800, 0.0950, 0.1000], np.float32)
 
 
 def _shift_edge(img: Array, dy: int, dx: int) -> Array:
