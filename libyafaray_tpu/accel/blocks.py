@@ -419,7 +419,12 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         oct_ = ((d[:, 0] >= 0).astype(jnp.uint32)
                 | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
                 | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
-        order = jnp.argsort((oct_ << jnp.uint32(27)) | (okey << jnp.uint32(15))
+        # dead rays (empty t-range, e.g. terminated paths / gated shadow
+        # rays) sort to the END: their tiles get zero candidates and the
+        # traversal skips them at ~zero cost
+        dead = (t_max < t_min).astype(jnp.uint32)
+        order = jnp.argsort((dead << jnp.uint32(30))
+                            | (oct_ << jnp.uint32(27)) | (okey << jnp.uint32(15))
                             | dkey).astype(jnp.int32)
         inv_order = jnp.argsort(order).astype(jnp.int32)
         o, d = o[order], d[order]

@@ -706,7 +706,8 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
                 potential = (z.valid & z.connectible & y_valid & y_conn
                              & y_n_ok & (jnp.max(partial, -1) > 0.0))
                 tr = common.trace_shadow(scene, z.sp.p, z.sp.prim, wi, dist,
-                                         cfg.transparent_shadows)
+                                         cfg.transparent_shadows,
+                                         needed=potential)
                 w = _mis_weight(eye, lverts, org, pick, t, s,
                                 rev_zt, rev_ztm1, rev_ys, rev_ysm1,
                                 t0_ok=t0_ok)
@@ -768,7 +769,8 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
             potential = (y_ok & vis & t0_ok
                          & (jnp.max(contrib, -1) > 0.0))
             tr = common.trace_shadow(scene, y_p, y_prim, wi, dist,
-                                     cfg.transparent_shadows)
+                                     cfg.transparent_shadows,
+                                     needed=potential)
             w = _mis_weight(eye, lverts, org, pick, 0, s,
                             jnp.zeros((n,)), jnp.zeros((n,)),
                             rev_ys, rev_ysm1, t0_ok=t0_ok)

@@ -28,16 +28,23 @@ Array = jax.Array
 
 def trace_shadow(scene: SceneData, p: Array, prim: Array, wi: Array,
                  dist: Array, transparent_depth: int = 0,
-                 time=None) -> Array:
+                 time=None, needed: Array | None = None) -> Array:
     """Shadow transmittance in [0,1]^3 along (p -> p + wi*dist).
 
     transparent_depth = 0: binary visibility (intersectS analogue).
     transparent_depth > 0: walk up to that many transparent surfaces,
     multiplying their filter colors (intersectTs analogue,
-    src/accelerator/accelerator.cc:69-94)."""
+    src/accelerator/accelerator.cc:69-94).
+
+    `needed` (optional bool [N]): rays where the result is irrelevant
+    (dead path / zero BSDF / non-shadow-casting light) get an EMPTY
+    t-range, which the block accelerator clusters into zero-candidate
+    tiles — the traversal then skips them at ~zero cost."""
     bias = scene.shadow_bias
     o = p + wi * bias[..., None]
     t_max = jnp.where(jnp.isinf(dist), 1e30, dist - 2.0 * bias)
+    if needed is not None:
+        t_max = jnp.where(needed, t_max, -1.0)
     if transparent_depth == 0:
         blocked = I.any_hit(scene, o, wi, 0.0, t_max, exclude_prim=prim,
                             time=time)
@@ -86,7 +93,7 @@ def estimate_one_light(scene: SceneData, sp, wo: Array, li: Array,
     potential = ls.valid & sp.valid & (jnp.max(f, axis=-1) > 0.0)
     shadow_needed = potential & ((scene.lights.flags[li] & L.FLAG_CAST_SHADOWS) != 0)
     tr = trace_shadow(scene, sp.p, sp.prim, ls.wi, ls.dist,
-                      transparent_shadows, time=time)
+                      transparent_shadows, time=time, needed=shadow_needed)
     no_shadow_test = potential & ~shadow_needed
     tr = jnp.where(no_shadow_test[..., None], 1.0, tr)
     mis_w = jnp.where(ls.is_dirac, 1.0,

@@ -142,7 +142,8 @@ def _final_gather(scene, cfg, sp, wo, pixel_id, sample_idx, depth):
         d_loc = vec.cosine_sample_hemisphere(u1, u2)
         wi = vec.from_local(d_loc, sp.nu, sp.nv, sp.n)
         o = sp.p + wi * scene.shadow_bias[..., None]
-        hit = I.closest_hit(scene, o, wi, scene.ray_min_dist, 1e30,
+        hit = I.closest_hit(scene, o, wi, scene.ray_min_dist,
+                            jnp.where(sp.valid, 1e30, -1.0),
                             exclude_prim=sp.prim)
         gsp = S.make_surface(scene, hit, o, wi)
         rad = PH.lookup_radiance(scene.photons.radiance, gsp.p, gsp.n)
@@ -161,7 +162,7 @@ def _sample_ambient_occlusion(scene, cfg, sp, wo, pixel_id, sample_idx):
         wi = vec.from_local(d_loc, sp.nu, sp.nv, sp.n)
         tr = common.trace_shadow(scene, sp.p, sp.prim, wi,
                                  jnp.full(sp.t.shape, cfg.ao_distance),
-                                 cfg.transparent_shadows)
+                                 cfg.transparent_shadows, needed=sp.valid)
         col = col + ao_col * tr / cfg.ao_samples
     return jnp.where(sp.valid[..., None], col, 0.0)
 
@@ -258,7 +259,12 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
 
     max_depth = cfg.bounces + 1
     for depth in range(max_depth):
-        hit = I.closest_hit(scene, o, d, scene.ray_min_dist, 1e30,
+        # dead paths get an EMPTY t-range: the block accelerator clusters
+        # them into zero-candidate tiles (accel/blocks.py sort key), so
+        # terminated paths cost ~nothing in traversal instead of tracing
+        # a stale full-range ray every remaining bounce
+        hit = I.closest_hit(scene, o, d, scene.ray_min_dist,
+                            jnp.where(alive, 1e30, -1.0),
                             exclude_prim=prev_prim, time=ray_time)
         hit = hit.replace(valid=hit.valid & alive)
         sp = S.make_surface(scene, hit, o, d)

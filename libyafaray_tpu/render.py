@@ -44,41 +44,42 @@ class AAParams:
     variance_pixels: int = struct.field(pytree_node=False, default=0)
 
 
-def render_pass_fn(scene: SceneData, cfg: IntegratorConfig, film: F.Film,
-                   sample_idx: Array, resample_mask: Optional[Array] = None
-                   ) -> F.Film:
-    """Render one sample per (active) pixel and accumulate into the film.
-    Pure function of (scene, film, sample_idx) — jit with static cfg."""
+def _render_ids(scene: SceneData, cfg: IntegratorConfig, film: F.Film,
+                sample_idx: Array, pixel_id: Array, live: Array,
+                n_splat_paths: int) -> F.Film:
+    """Render one sample for each pixel id in `pixel_id` (uint32 [M]) and
+    accumulate into the film; `live` masks padding lanes. Sampling is
+    keyed purely by (pixel_id, sample_idx) so a compacted adaptive pass
+    produces bit-identical samples to a full pass at the same indices."""
     h, w = film.height, film.width
     cam = scene.camera
-    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    pixel_id = (yy * w + xx).reshape(-1).astype(jnp.uint32)
     # per-host decorrelated sample stream (adv_base_sampling_offset analogue)
     s_idx = jnp.asarray(sample_idx, jnp.uint32) + jnp.uint32(
         film.base_sampling_offset)
+    xx = (pixel_id % jnp.uint32(w)).astype(jnp.int32)
+    yy = (pixel_id // jnp.uint32(w)).astype(jnp.int32)
 
     # pixel jitter: Owen-scrambled (0,2)-sequence per pixel
     scramble = sampler.pcg4d(jnp.stack(
         [pixel_id, jnp.full_like(pixel_id, 0x9E3779B9),
          jnp.full_like(pixel_id, 7), jnp.full_like(pixel_id, 11)], -1))[..., 0]
     ju, jv = sampler.ld02(s_idx, scramble)
-    px = xx.reshape(-1).astype(jnp.float32) + ju
-    py = yy.reshape(-1).astype(jnp.float32) + jv
+    px = xx.astype(jnp.float32) + ju
+    py = yy.astype(jnp.float32) + jv
     # lens samples via Halton(3,5) like the reference (integrator_tiled.cc:348)
     lens_u = sampler.rand1(pixel_id, s_idx, 0, 777)
     lens_v = sampler.rand1(pixel_id, s_idx, 0, 778)
 
     o, d, valid = shoot_rays(cam, px, py, lens_u, lens_v)
+    valid = valid & live
     rgb, alpha, aux = integrate(scene, cfg, o, d, valid, pixel_id, s_idx)
 
     weight = valid.astype(jnp.float32)
-    if resample_mask is not None:
-        weight = weight * resample_mask.reshape(-1)
     # light-tracing splats (BDPT t=0): separate accumulator, normalized by
     # light-subpath count at resolve rather than by filter weights
     if "splat_px" in aux:
         film = F.add_splats(film, aux.pop("splat_px"), aux.pop("splat_py"),
-                            aux.pop("splat_rgb"), n_paths=h * w)
+                            aux.pop("splat_rgb"), n_paths=n_splat_paths)
     layer_vals: Dict[str, Array] = {
         "combined": jnp.concatenate([rgb, alpha[..., None]], axis=-1)}
     for name, val in aux.items():
@@ -88,9 +89,28 @@ def render_pass_fn(scene: SceneData, cfg: IntegratorConfig, film: F.Film,
     return F.add_samples(film, px, py, layer_vals, weight)
 
 
+def render_pass_fn(scene: SceneData, cfg: IntegratorConfig, film: F.Film,
+                   sample_idx: Array, resample_mask: Optional[Array] = None
+                   ) -> F.Film:
+    """Render one sample per (active) pixel and accumulate into the film.
+    Pure function of (scene, film, sample_idx) — jit with static cfg."""
+    h, w = film.height, film.width
+    pixel_id = jnp.arange(h * w, dtype=jnp.uint32)
+    live = jnp.ones((h * w,), bool)
+    if resample_mask is not None:
+        live = live & (resample_mask.reshape(-1) > 0)
+    return _render_ids(scene, cfg, film, sample_idx, pixel_id, live, h * w)
+
+
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
 def _render_pass_jit(scene, cfg, film, sample_idx, resample_mask):
     return render_pass_fn(scene, cfg, film, sample_idx, resample_mask)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+def _render_ids_jit(scene, cfg, film, sample_idx, pixel_id, live):
+    return _render_ids(scene, cfg, film, sample_idx, pixel_id, live,
+                       film.height * film.width)
 
 
 # darkThresholdCurveInterpolate (imagefilm.cc:799-816) as interp knots:
@@ -285,16 +305,40 @@ def render(scene: SceneData, cfg: IntegratorConfig, width: Optional[int] = None,
             progress_cb(s, total)
         if render_control is not None:
             render_control.set_progress(s / max(total, 1))
-    # additional adaptive passes resample flagged pixels only
+    # additional adaptive passes resample flagged pixels only. Unlike the
+    # reference's per-tile flag checks (imagefilm.cc:259-445) the flagged
+    # pixels are COMPACTED into a short wavefront (padded to a power-of-two
+    # bucket to bound recompiles), so later passes cost ~ the flagged
+    # fraction of a full pass instead of tracing every pixel with a masked
+    # weight.
+    n_pix = height * width
     for p in range(1, aa.aa_passes):
         if canceled():
             break
         mask = compute_resample_mask(film, aa)
-        n_resample = int(jnp.sum(mask > 0)) if stats is not None else 0
+        ids = np.flatnonzero(np.asarray(mask).reshape(-1) > 0)
+        n_resample = ids.size
+        if n_resample == 0:
+            break  # converged: reference stops flagging too
+        if n_resample >= n_pix // 2:
+            ids_pad = None  # full pass is cheaper than compaction overhead
+        else:
+            m = 1 << max(int(np.ceil(np.log2(max(n_resample, 1)))), 8)
+            m = min(m, n_pix)
+            ids_pad = np.zeros((m,), np.uint32)
+            ids_pad[:n_resample] = ids
+            live = np.zeros((m,), bool)
+            live[:n_resample] = True
+            ids_dev = jnp.asarray(ids_pad)
+            live_dev = jnp.asarray(live)
         for i in range(aa.aa_inc_samples):
             if stats is not None:
                 stats.begin_pass()
-            film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), mask)
+            if ids_pad is None:
+                film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), mask)
+            else:
+                film = _render_ids_jit(scene, cfg, film, jnp.uint32(s),
+                                       ids_dev, live_dev)
             if stats is not None:
                 jax.block_until_ready(film.weights)
                 stats.end_pass(n_resample)

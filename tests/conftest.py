@@ -9,14 +9,22 @@ has run yet.
 """
 import os
 
+_TPU_MODE = os.environ.get("YAF_TPU_TESTS", "0") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_MODE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    # default: virtual 8-device CPU mesh (sharding tests without hardware)
+    jax.config.update("jax_platforms", "cpu")
+# YAF_TPU_TESTS=1 keeps the real backend: the @pytest.mark.tpu on-hardware
+# kernel suite (tests/test_tpu_hw.py) runs Mosaic-compiled Pallas kernels
+# against the oracle on the live chip — the fault class interpret-mode CI
+# cannot catch (round-3 device fault)
 # persistent compile cache: the sharded/grad graphs take minutes to compile;
 # cached across runs they load in seconds
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
