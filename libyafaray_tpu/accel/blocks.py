@@ -397,7 +397,16 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
     from ..ops.intersect import intersect_sphere
     n = o.shape[0]
     tiles_ok = False
-    if time is None and acc.tab is not None:
+    motion_ok = True
+    if time is not None:
+        # motion blur rides the VMEM-resident kernel (per-ray b-spline
+        # vertex blend in-kernel); scenes too large for residency fall
+        # back to the jnp block loop below
+        from .tiles import VMEM_TAB_BUDGET
+        n_tabs = 3 if acc.tab_t2 is not None else 2
+        motion_ok = (acc.tab_t1 is not None
+                     and acc.tab.size * 4 * n_tabs <= VMEM_TAB_BUDGET)
+    if acc.tab is not None and motion_ok:
         from .tiles import use_tiles
         tiles_ok = use_tiles()
     chunk = min(RAY_CHUNK, max(256, n))
@@ -437,6 +446,9 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
             acc.tab, acc.bmin, acc.bmax, o, d, t_min, t_max, exclude,
             blk_base=acc.blk_base, blk_minv=acc.blk_minv,
             id_delta=acc.id_delta, inv_rows=acc.inv_rows,
+            tab_t1=acc.tab_t1 if time is not None else None,
+            tab_t2=acc.tab_t2 if time is not None else None,
+            time=time,
             shadow=(vis_bit == 2), any_hit=any_hit)
         buv = jnp.stack([bu, bv], axis=-1)
         if inv_order is not None:

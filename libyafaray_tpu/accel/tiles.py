@@ -36,13 +36,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 512     # rays per tile (one grid step)
+import os as _os
+
+# rays per tile (one grid step). Smaller tiles tighten the per-tile
+# candidate union (incoherent secondary wavefronts) at the cost of more
+# grid steps; 256 measured best on v5e for the mixed primary/bounce load
+# (sweep in PARITY.md par.2.5). Env override for experiments.
+RAY_TILE = int(_os.environ.get("YAF_RAY_TILE", "256"))
 SUB = 128          # triangles per dense MT batch inside a block (lanes)
 
 EPS_DET = 1e-10
 
 
-def _mt_update(tr, cols, carry, vis_col: int, delta=None):
+def _mt_update(tr, cols, carry, vis_col: int, delta=None, motion=None):
     """Dense MT of a (16, SUB) triangle slab against the tile; returns
     updated (best_t, best_id, best_u, best_v), each f32[RAY_TILE, 1].
 
@@ -50,13 +56,25 @@ def _mt_update(tr, cols, carry, vis_col: int, delta=None):
     9 cam-vis, 10 shadow-vis, 11 prim id / -2 padding); `cols` the
     per-tile ray columns (ox..oz, dx..dz, t_min, excl), each [N, 1] —
     possibly instance-transformed (then `delta` rebases the physical
-    prim ids to virtual ids)."""
+    prim ids to virtual ids). `motion` (tr1, tr2|None, w0, w1, w2):
+    per-ray b-spline blend of the vertex rows for motion blur
+    (primitive_triangle_bspline.cc:40-44) — vertices become [N, SUB]."""
     ox, oy, oz, dx, dy, dz, t_min, excl = cols
     best_t, best_id, best_u, best_v = carry
 
-    ax, ay, az = tr[0:1, :], tr[1:2, :], tr[2:3, :]
-    bx, by, bz = tr[3:4, :], tr[4:5, :], tr[5:6, :]
-    cx, cy, cz = tr[6:7, :], tr[7:8, :], tr[8:9, :]
+    def row(r):
+        v = tr[r:r + 1, :]
+        if motion is None:
+            return v
+        tr1, tr2, w0, w1, w2 = motion
+        v = v * w0 + tr1[r:r + 1, :] * w1
+        if tr2 is not None:
+            v = v + tr2[r:r + 1, :] * w2
+        return v
+
+    ax, ay, az = row(0), row(1), row(2)
+    bx, by, bz = row(3), row(4), row(5)
+    cx, cy, cz = row(6), row(7), row(8)
     vis = tr[vis_col:vis_col + 1, :]
     pid = tr[11:12, :]
     if delta is not None:
@@ -231,7 +249,7 @@ SUPER = 16         # blocks per superblock in the exact per-ray prepass
 def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
                           t_ref, id_ref, u_ref, v_ref, *,
                           block_rows: int, c_pad: int, vis_col: int,
-                          any_hit: bool, inst_refs=None):
+                          any_hit: bool, inst_refs=None, motion_refs=None):
     """VMEM-resident variant of _tile_kernel: the WHOLE component-major
     block table lives in VMEM for the kernel's lifetime (fetched once by
     Pallas — the constant index_map makes every grid step reuse it), so a
@@ -261,6 +279,13 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
     base_cols = (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3],
                  rays[:, 3:4], rays[:, 4:5], rays[:, 5:6],
                  rays[:, 6:7], rays[:, 8:9])
+    if motion_refs is not None:
+        tt = rays[:, 9:10]
+        if motion_refs[1] is not None:  # quadratic b-spline, 3 ctrl pts
+            tc = 1.0 - tt
+            mw = (tc * tc, 2.0 * tt * tc, tt * tt)
+        else:                            # linear, 2 keyframes
+            mw = (1.0 - tt, tt, tt)
 
     def body(st):
         best_t, best_id, best_u, best_v, c = st
@@ -289,7 +314,14 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
 
         def sub_body(k, carry):
             tr = tab_ref[jp, :, pl.ds(k * SUB, SUB)]
-            return _mt_update(tr, cols, carry, vis_col, delta=delta)
+            motion = None
+            if motion_refs is not None:
+                tr1 = motion_refs[0][jp, :, pl.ds(k * SUB, SUB)]
+                tr2 = (motion_refs[1][jp, :, pl.ds(k * SUB, SUB)]
+                       if motion_refs[1] is not None else None)
+                motion = (tr1, tr2) + mw
+            return _mt_update(tr, cols, carry, vis_col, delta=delta,
+                              motion=motion)
 
         carry = (best_t, best_id, best_u, best_v)
         if n_sub == 1:
@@ -426,7 +458,8 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
                    static_argnames=("shadow", "any_hit", "interpret"))
 def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
                    blk_base=None, blk_minv=None, id_delta=None,
-                   inv_rows=None, shadow: bool = False,
+                   inv_rows=None, tab_t1=None, tab_t2=None, time=None,
+                   shadow: bool = False,
                    any_hit: bool = False, interpret: bool = False):
     """Traverse pre-sorted rays through the block table.
 
@@ -435,11 +468,15 @@ def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
     SORTED for coherence (N padded to a RAY_TILE multiple here if
     needed); t_min/t_max/exclude [N]. For instanced scenes, blk_base /
     blk_minv / id_delta i32[C] and inv_rows f32[K+1, 12] carry the
-    virtual->physical indirection (BlockAccel docstring).
+    virtual->physical indirection (BlockAccel docstring). For motion
+    blur pass tab_t1 (+tab_t2 for quadratic b-spline) and per-ray
+    `time` [N]: vertices are blended per ray inside the kernel
+    (VMEM-resident scenes only — larger scenes use the jnp block loop).
     Returns (t, prim i32 (-1 miss), u, v) each [N]."""
     n = o.shape[0]
     block_rows = tab.shape[2]
     instanced = blk_base is not None
+    motion = tab_t1 is not None and time is not None
     npad = -(-n // RAY_TILE) * RAY_TILE
     if npad != n:
         z3 = jnp.zeros((npad - n, 3), jnp.float32)
@@ -450,28 +487,41 @@ def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
             [t_max, jnp.full((npad - n,), -1.0, jnp.float32)])
         exclude = jnp.concatenate(
             [exclude, jnp.full((npad - n,), -1, jnp.int32)])
+        if motion:
+            time = jnp.concatenate(
+                [time, jnp.zeros((npad - n,), jnp.float32)])
     cand, ent, count = tile_candidates(bmin, bmax, o, d, t_min, t_max)
     c_pad = cand.shape[1]
     t = npad // RAY_TILE
-    resident = tab.size * 4 <= VMEM_TAB_BUDGET
+    n_tabs = 1 + (2 if motion else 0)
+    resident = tab.size * 4 * n_tabs <= VMEM_TAB_BUDGET
+    if motion and not resident:
+        raise ValueError("motion-blur tiles path needs the VMEM-resident "
+                         "kernel; scene too large — use the jnp block loop")
 
     rays = jnp.concatenate(
         [o, d, t_min[:, None], t_max[:, None],
          exclude.astype(jnp.float32)[:, None],
-         jnp.zeros((npad, 7), jnp.float32)], axis=1)
+         (time[:, None] if motion else jnp.zeros((npad, 1), jnp.float32)),
+         jnp.zeros((npad, 6), jnp.float32)], axis=1)
 
     base_kernel = _tile_kernel_resident if resident else _tile_kernel
-    if instanced:
-        def kernel(rays_r, cand_r, ent_r, cnt_r, tab_r, bb_r, bm_r, dl_r,
-                   iv_r, *rest):
-            base_kernel(rays_r, cand_r, ent_r, cnt_r, tab_r, *rest,
-                        block_rows=block_rows, c_pad=c_pad,
-                        vis_col=10 if shadow else 9, any_hit=any_hit,
-                        inst_refs=(bb_r, bm_r, dl_r, iv_r))
-    else:
-        kernel = functools.partial(
-            base_kernel, block_rows=block_rows, c_pad=c_pad,
-            vis_col=10 if shadow else 9, any_hit=any_hit)
+    vis_col = 10 if shadow else 9
+    has_t2 = motion and tab_t2 is not None
+    n_mot = (2 if has_t2 else 1) if motion else 0
+    n_inst = 4 if instanced else 0
+
+    def kernel(rays_r, cand_r, ent_r, cnt_r, tab_r, *rest):
+        # rest = [motion tabs][inst tables][outputs (+DMA scratch)]
+        kw = {}
+        if motion:
+            kw["motion_refs"] = (rest[0], rest[1] if has_t2 else None)
+        if instanced:
+            kw["inst_refs"] = tuple(rest[n_mot:n_mot + 4])
+        base_kernel(rays_r, cand_r, ent_r, cnt_r, tab_r,
+                    *rest[n_mot + n_inst:],
+                    block_rows=block_rows, c_pad=c_pad,
+                    vis_col=vis_col, any_hit=any_hit, **kw)
     vec_spec = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     vec_shape = jax.ShapeDtypeStruct((npad, 1), jnp.float32)
@@ -495,6 +545,14 @@ def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
     ]
     args = [rays, cand.reshape(t, 1, c_pad), ent.reshape(t, 1, c_pad),
             count.reshape(t, 1, 1), tab]
+    if motion:
+        res_spec = pl.BlockSpec(tab.shape, lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs.append(res_spec)
+        args.append(tab_t1)
+        if has_t2:
+            in_specs.append(res_spec)
+            args.append(tab_t2)
     if instanced:
         def pad_c(x, fill):
             cc = x.shape[0]

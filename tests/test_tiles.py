@@ -115,3 +115,31 @@ def test_tile_candidates_conservative(rng):
         listed = set(cand[ti, :count[ti, 0]].tolist())
         needed = set(np.nonzero(tiles[ti])[0].tolist())
         assert needed <= listed
+
+
+def test_tiles_motion_blur_matches_scan(rng, monkeypatch):
+    """Motion-blurred traversal through the VMEM-resident tiles kernel
+    (per-ray linear vertex blend in-kernel) vs the brute scan oracle."""
+    f, n = 600, 1024
+    geom = _random_geom(rng, f, motion=True)
+    acc = build_blocks(geom)
+    assert acc.tab_t1 is not None
+    o, d = _rays(rng, n)
+    t_min = jnp.full(n, 1e-4)
+    t_max = jnp.full(n, 1e30)
+    excl = jnp.full(n, -1, jnp.int32)
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+
+    monkeypatch.setattr(I, "_pallas_ok", lambda g: False)
+    ref = I._brute_closest(geom, o, d, t_min, t_max, excl, time=time)
+
+    t, p, u, v = tiles_traverse(
+        acc.tab, acc.bmin, acc.bmax, o, d, t_min, t_max, excl,
+        tab_t1=acc.tab_t1, tab_t2=acc.tab_t2, time=time, interpret=True)
+    valid = np.asarray(p) >= 0
+    np.testing.assert_array_equal(valid, np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(p)[valid],
+                                  np.asarray(ref.prim)[valid])
+    np.testing.assert_allclose(np.asarray(t)[valid],
+                               np.asarray(ref.t)[valid], rtol=1e-4,
+                               atol=1e-6)

@@ -90,10 +90,12 @@ def test_hw_tiles_instanced():
     from libyafaray_tpu.cameras import shoot_rays
 
     sc_true = _instanced_builder().compile("cam")
-    sc_bake = _instanced_builder(mode="bake").compile("cam")
+    sc_bake = _instanced_builder(mode="baked").compile("cam")
     assert sc_true.geom.inst_mat is not None
+    assert sc_bake.geom.inst_mat is None, "baked scene must not instance"
     acc_t, acc_b = sc_true.blocks, sc_bake.blocks
     assert acc_t.blk_base is not None
+    assert acc_b.blk_base is None
 
     n = 48 * 48
     ii = jnp.arange(n, dtype=jnp.uint32)
