@@ -432,9 +432,19 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         # rays) sort to the END: their tiles get zero candidates and the
         # traversal skips them at ~zero cost
         dead = (t_max < t_min).astype(jnp.uint32)
-        order = jnp.argsort((dead << jnp.uint32(30))
-                            | (oct_ << jnp.uint32(27)) | (okey << jnp.uint32(15))
-                            | dkey).astype(jnp.int32)
+        import os as _os
+        if _os.environ.get("YAF_SORT_MODE", "oct") == "org":
+            # origin-first: tight origin clusters (any direction) — for
+            # secondary wavefronts whose origins spread over the scene
+            # the candidate union tracks the blocks around the cluster
+            okey_f = morton3d(rel) >> jnp.uint32(11)    # 21 bits (128^3)
+            key = ((dead << jnp.uint32(30))
+                   | (okey_f << jnp.uint32(9)) | (oct_ << jnp.uint32(6))
+                   | (dkey >> jnp.uint32(24)))
+        else:
+            key = ((dead << jnp.uint32(30)) | (oct_ << jnp.uint32(27))
+                   | (okey << jnp.uint32(15)) | dkey)
+        order = jnp.argsort(key).astype(jnp.int32)
         inv_order = jnp.argsort(order).astype(jnp.int32)
         o, d = o[order], d[order]
         t_min, t_max, exclude = t_min[order], t_max[order], exclude[order]

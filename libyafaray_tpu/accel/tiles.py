@@ -40,9 +40,9 @@ import os as _os
 
 # rays per tile (one grid step). Smaller tiles tighten the per-tile
 # candidate union (incoherent secondary wavefronts) at the cost of more
-# grid steps; 256 measured best on v5e for the mixed primary/bounce load
+# grid steps; 128 measured best on v5e for the mixed primary/bounce load
 # (sweep in PARITY.md par.2.5). Env override for experiments.
-RAY_TILE = int(_os.environ.get("YAF_RAY_TILE", "256"))
+RAY_TILE = int(_os.environ.get("YAF_RAY_TILE", "128"))
 SUB = 128          # triangles per dense MT batch inside a block (lanes)
 
 EPS_DET = 1e-10

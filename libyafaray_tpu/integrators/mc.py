@@ -257,6 +257,17 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
     # (estimateOneDirectLight, integrator_montecarlo.cc:70)
     sample_all = direct_only or cfg.sample_all_lights_direct or num_lights <= 2
 
+    # interior volume handlers (reference VolumeHandler 'beer'/'sss',
+    # volume/volume.cc:58-59; applied by the path tracer as
+    # throughput *= vol->transmittance(segment) for segments inside a
+    # Volumetric material, integrator_path_tracer.cc:241-247). Statically
+    # gated: scenes without absorbing/scattering dielectrics trace none
+    # of this.
+    track_medium = ((scene.materials.has_beer or scene.materials.has_sss)
+                    and not direct_only)
+    if track_medium:
+        medium_mat = jnp.full((n,), -1, jnp.int32)
+
     max_depth = cfg.bounces + 1
     for depth in range(max_depth):
         # dead paths get an EMPTY t-range: the block accelerator clusters
@@ -267,6 +278,40 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                             jnp.where(alive, 1e30, -1.0),
                             exclude_prim=prev_prim, time=ray_time)
         hit = hit.replace(valid=hit.valid & alive)
+        scat = jnp.zeros((n,), bool)
+        if track_medium:
+            in_med = (medium_mat >= 0) & alive
+            mm = jnp.maximum(medium_mat, 0)
+            t_seg = jnp.where(hit.valid & in_med, hit.t, 0.0)
+            if scene.materials.has_sss:
+                # exponential free-path sampling (volumehandler_sss.cc:35):
+                # dist = -d_s * ln(u); scatter when it lands inside the
+                # segment — the surface interaction is then REPLACED by an
+                # isotropic scatter tinted by scatter_col
+                u_sc, u_s1, u_s2, _ = jnp.moveaxis(
+                    sampler.rand4(pixel_id, sample_idx, depth, 61), -1, 0)
+                sdist = scene.materials.sss_dist[mm]
+                sc_dist = -sdist * jnp.log(jnp.maximum(u_sc, 1e-12))
+                scat = (in_med & (sdist > 0.0) & hit.valid
+                        & (sc_dist < hit.t))
+                t_seg = jnp.where(scat, sc_dist, t_seg)
+                scat_p = o + d * t_seg[..., None]
+                cz = 1.0 - 2.0 * u_s1
+                szr = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 0.0))
+                phi_s = 2.0 * jnp.pi * u_s2
+                scat_d = jnp.stack([szr * jnp.cos(phi_s),
+                                    szr * jnp.sin(phi_s), cz], -1)
+                throughput = jnp.where(
+                    scat[..., None],
+                    throughput * scene.materials.sss_scatter_col[mm],
+                    throughput)
+            if scene.materials.has_beer:
+                # Beer-law interior transmittance e^(-sigma_a * t)
+                beer_tr = jnp.exp(-scene.materials.absorption[mm]
+                                  * t_seg[..., None])
+                throughput = jnp.where(in_med[..., None],
+                                       throughput * beer_tr, throughput)
+            hit = hit.replace(valid=hit.valid & ~scat)
         sp = S.make_surface(scene, hit, o, d)
         if depth == 0:
             # primary hits carry a screen-space footprint for mipmap/EWA
@@ -276,7 +321,7 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         wo = -d
 
         # --- escaped rays: background (+ env-light MIS) ---
-        escaped = alive & ~hit.valid
+        escaped = alive & ~hit.valid & ~scat
         bg_rad = eval_background(scene, d)
         bg_mis = jnp.ones((n,), jnp.float32)
         if scene.lights.bg_light_idx >= 0:
@@ -446,6 +491,16 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
             new_thr = new_thr / p_survive[..., None]
             cont = cont & ~kill
         throughput = jnp.where(cont[..., None], new_thr, throughput)
+        if track_medium:
+            # medium crossing on the surviving surface interactions:
+            # transmission against the geometric normal enters/leaves the
+            # dielectric interior (getVolumeHandler(inside) analogue)
+            crossed = cont & (vec.dot(ms.wi, sp.ng) * vec.dot(wo, sp.ng)
+                              < 0.0)
+            going_in = vec.dot(ms.wi, sp.ng) < 0.0
+            medium_mat = jnp.where(
+                crossed & going_in, sp.mat_id,
+                jnp.where(crossed & ~going_in, -1, medium_mat))
         alive = cont
         prev_p = sp.p
         prev_prim = sp.prim
@@ -453,6 +508,14 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         prev_delta = ms.is_delta
         o = sp.p + ms.wi * scene.shadow_bias[..., None]
         d = ms.wi
+        if track_medium and scene.materials.has_sss:
+            # scatter lanes stay alive INSIDE the medium with the redirected
+            # isotropic ray (surface interaction skipped this depth)
+            alive = alive | scat
+            o = jnp.where(scat[..., None], scat_p, o)
+            d = jnp.where(scat[..., None], scat_d, d)
+            prev_prim = jnp.where(scat, -1, prev_prim)
+            prev_delta = jnp.where(scat, True, prev_delta)
 
     alpha = jnp.clip(alpha, 0.0, 1.0)
     if want_env:

@@ -401,6 +401,7 @@ class SceneBuilder:
             mat_type=zi(), bsdf_flags=zi(),
             diffuse_color=z3(), glossy_color=z3(), mirror_color=z3(),
             filter_color=z3(), absorption=z3(), emit_color=z3(),
+            sss_scatter_col=z3(), sss_dist=z(),
             specular_refl=z(), transparency=z(), translucency=z(),
             diffuse_reflect=z(), glossy_reflect=z(), exponent=z(),
             exp_u=z(), exp_v=z(), alpha=z(), ior=z() + 1.5, dispersion=z(),
@@ -465,7 +466,25 @@ class SceneBuilder:
                 cols["ior"][i] = pm.get_float("IOR", 1.5)
                 cols["filter_color"][i] = pm.get_color("filter_color", (1, 1, 1))[:3]
                 cols["mirror_color"][i] = pm.get_color("mirror_color", (1, 1, 1))[:3]
-                cols["absorption"][i] = pm.get_color("absorption", (0, 0, 0))[:3]
+                # interior Beer handler (material_glass.cc:338-356): the
+                # 'absorption' COLOR + 'absorption_dist' become sigma_a =
+                # -log(absorp)/dist per channel; absent param = clear glass
+                if "absorption" in pm:
+                    absorp = np.clip(
+                        pm.get_color("absorption", (1, 1, 1))[:3], 1e-38, 1.0)
+                    dist = pm.get_float("absorption_dist", 1.0)
+                    sigma = -np.log(absorp)
+                    if dist != 0.0:
+                        sigma /= dist
+                    cols["absorption"][i] = sigma
+                # interior 'sss' VolumeHandler (volumehandler_sss.cc:33-41):
+                # exponential free-path sampling at absorption_dist with an
+                # isotropic scatter tinted by scatter_col
+                if pm.get_string("volume_handler", "beer") == "sss":
+                    cols["sss_scatter_col"][i] = pm.get_color(
+                        "scatter_col", (0.8, 0.8, 0.8))[:3]
+                    cols["sss_dist"][i] = max(
+                        pm.get_float("absorption_dist", 1.0), 1e-6)
                 cols["dispersion"][i] = pm.get_float("dispersion_power", 0.0)
                 cols["alpha"][i] = max(pm.get_float("alpha", 0.25), 1e-4)
                 if pm.get_bool("fake_shadows", False):
@@ -497,6 +516,8 @@ class SceneBuilder:
                                   & FLAG_ANISOTROPIC)),
             has_fresnel=bool(np.any(np.asarray(cols["mat_flags"])
                                     & FLAG_FRESNEL)),
+            has_beer=bool(np.any(np.asarray(cols["absorption"]) > 0.0)),
+            has_sss=bool(np.any(np.asarray(cols["sss_dist"]) > 0.0)),
             **{k: jnp.asarray(v) for k, v in cols.items()})
         return table, light_mat_emit
 

@@ -234,6 +234,16 @@ class MaterialTable:
     has_aniso: bool = struct.field(pytree_node=False, default=True)
     # any row with fresnel_effect set (shiny-diffuse fresnel mirror weight)
     has_fresnel: bool = struct.field(pytree_node=False, default=True)
+    # interior volume handlers (reference VolumeHandler factory
+    # volume/volume.cc:58-59: 'beer' Beer-law absorption, 'sss'
+    # single-scatter): per-material scatter color + mean free path;
+    # sss_dist 0 = no interior scattering. Static flags gate the
+    # bounce-loop medium tracking so scenes without dielectric interiors
+    # pay nothing.
+    sss_scatter_col: Optional[Array] = None  # f32[M,3]
+    sss_dist: Optional[Array] = None         # f32[M]
+    has_beer: bool = struct.field(pytree_node=False, default=False)
+    has_sss: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

@@ -50,9 +50,43 @@ def _hsv_to_rgb(h: Array, s: Array, v: Array):
     return jnp.stack([r, g, b], -1)
 
 
+def _rgb_to_hsl(c: Array):
+    """Rgb::rgbToHsl analogue (color.h): lightness = (max+min)/2."""
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    l_ = 0.5 * (mx + mn)
+    safe = jnp.maximum(d, 1e-9)
+    h = jnp.where(mx == r, ((g - b) / safe) % 6.0,
+                  jnp.where(mx == g, (b - r) / safe + 2.0,
+                            (r - g) / safe + 4.0)) / 6.0
+    h = jnp.where(d <= 1e-9, 0.0, h)
+    denom = jnp.maximum(1.0 - jnp.abs(2.0 * l_ - 1.0), 1e-9)
+    s = jnp.where(d <= 1e-9, 0.0, d / denom)
+    return h, s, l_
+
+
+def _hsl_to_rgb(h: Array, s: Array, l_: Array):
+    """hslToRgb: chroma construction (exact inverse of _rgb_to_hsl)."""
+    c = (1.0 - jnp.abs(2.0 * l_ - 1.0)) * s
+    h6 = (h % 1.0) * 6.0
+    x = c * (1.0 - jnp.abs(h6 % 2.0 - 1.0))
+    i = jnp.floor(h6).astype(jnp.int32) % 6
+    z = jnp.zeros_like(c)
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [c, x, z, z, x, c])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [x, c, c, x, z, z])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [z, z, x, c, c, x])
+    m = l_ - 0.5 * c
+    return jnp.stack([r + m, g + m, b + m], -1)
+
+
 def apply_ramp(pool, tex_id: Array, inten: Array, col: Array) -> Array:
-    """Color-ramp remap of the texture intensity (color_ramp.cc, RGB/HSV
-    interpolation)."""
+    """Color-ramp remap of the texture intensity (color_ramp.cc:66-110,
+    RGB / HSV / true-HSL interpolation, Near hue path)."""
     cnt = pool.ramp_count[tex_id]
     has = cnt > 0
     pos = pool.ramp_pos[tex_id]          # [N, RAMP_MAX]
@@ -81,8 +115,16 @@ def apply_ramp(pool, tex_id: Array, inten: Array, col: Array) -> Array:
     dh = jnp.where(dh > 0.5, dh - 1.0, jnp.where(dh < -0.5, dh + 1.0, dh))
     hsv_rgb = _hsv_to_rgb(h0 + dh * t, s0 + (s1 - s0) * t, v0 + (v1 - v0) * t)
     hsv = jnp.concatenate([hsv_rgb, lin[..., 3:]], -1)
+    # true hsl interpolation mode (color_ramp.cc:97-110)
+    g0, q0, l0 = _rgb_to_hsl(c0[..., :3])
+    g1, q1, l1 = _rgb_to_hsl(c1[..., :3])
+    dg = g1 - g0
+    dg = jnp.where(dg > 0.5, dg - 1.0, jnp.where(dg < -0.5, dg + 1.0, dg))
+    hsl_rgb = _hsl_to_rgb(g0 + dg * t, q0 + (q1 - q0) * t, l0 + (l1 - l0) * t)
+    hsl = jnp.concatenate([hsl_rgb, lin[..., 3:]], -1)
     mode = pool.ramp_mode[tex_id]
-    ramped = jnp.where((mode >= 1)[..., None], hsv, lin)
+    ramped = jnp.where((mode == 2)[..., None], hsl,
+                       jnp.where((mode == 1)[..., None], hsv, lin))
     return jnp.where(has[..., None], ramped, col)
 
 

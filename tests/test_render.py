@@ -554,3 +554,66 @@ def test_aov_adv_family_splits():
     film2 = render(scene2, make_integrator({"type": "directlighting"}),
                    24, 24, spp=4, layer_names=["combined", "adv-glossy"])
     assert np.asarray(F.resolve(film2, "adv-glossy")).sum() > 1e-3
+
+
+def _glass_slab_builder(absorption=None, handler=None):
+    """Cornell + glass box; optional interior Beer absorption / sss handler
+    (reference VolumeHandler 'beer'/'sss', volume/volume.cc:58-59)."""
+    from scenes import cornell_builder, _box
+    gp = {"type": "glass", "IOR": 1.5, "filter_color": (1.0, 1.0, 1.0)}
+    if absorption is not None:
+        gp["absorption"] = absorption
+        gp["absorption_dist"] = 0.2
+    if handler is not None:
+        gp["volume_handler"] = handler
+        gp["scatter_col"] = (0.9, 0.9, 0.9)
+    b = cornell_builder(extras=[("glass", gp)])
+    b.create_object("glassbox")
+    b.set_current_material("glass")
+    _box(b, (0.4, 0.4, 0.3), (0.3, 0.3, 0.3))
+    return b
+
+
+def test_beer_interior_absorption():
+    """Glass with 'absorption' darkens transmitted paths vs clear glass
+    (BeerVolumeHandler transmittance, applied like
+    integrator_path_tracer.cc:241-247). A green absorption color tints the
+    interior green (red/blue absorbed more)."""
+    cfg = make_integrator({"type": "pathtracing", "bounces": 5})
+    clear = _glass_slab_builder().compile("cam")
+    tinted = _glass_slab_builder(absorption=(0.2, 0.9, 0.2)).compile("cam")
+    assert not clear.materials.has_beer
+    assert tinted.materials.has_beer
+    img_c = np.asarray(F.resolve(render(clear, cfg, 40, 40, spp=8),
+                                 "combined"))[..., :3]
+    img_t = np.asarray(F.resolve(render(tinted, cfg, 40, 40, spp=8),
+                                 "combined"))[..., :3]
+    assert np.isfinite(img_t).all()
+    # absorption can only remove energy from glass paths
+    assert img_t.mean() < img_c.mean()
+    # green survives better than red/blue inside the absorbing glass:
+    # compare per-channel energy ratios over the pixels that changed
+    changed = np.abs(img_t - img_c).max(axis=-1) > 1e-4
+    assert changed.sum() > 20, "no glass paths changed"
+    rc = img_c[changed].mean(axis=0)
+    rt = img_t[changed].mean(axis=0)
+    ratio = rt / np.maximum(rc, 1e-6)
+    assert ratio[1] > ratio[0] + 0.02 and ratio[1] > ratio[2] + 0.02, ratio
+
+
+def test_sss_interior_scatter():
+    """'sss' VolumeHandler: exponential free-path interior scattering
+    (volumehandler_sss.cc:33-41) produces a finite render that differs
+    from pure Beer glass and keeps energy bounded."""
+    cfg = make_integrator({"type": "pathtracing", "bounces": 6})
+    beer = _glass_slab_builder(absorption=(0.5, 0.5, 0.5)).compile("cam")
+    sss = _glass_slab_builder(absorption=(0.5, 0.5, 0.5),
+                              handler="sss").compile("cam")
+    assert sss.materials.has_sss and not beer.materials.has_sss
+    img_b = np.asarray(F.resolve(render(beer, cfg, 32, 32, spp=8),
+                                 "combined"))[..., :3]
+    img_s = np.asarray(F.resolve(render(sss, cfg, 32, 32, spp=8),
+                                 "combined"))[..., :3]
+    assert np.isfinite(img_s).all()
+    assert img_s.max() < 50.0
+    assert np.abs(img_s - img_b).max() > 1e-3

@@ -290,3 +290,42 @@ def test_image_optimization_levels():
     got_c = np.asarray(sample_image(p_cmp, tid, uv))
     np.testing.assert_allclose(got_o, ref, atol=2e-3)     # f16 mantissa
     np.testing.assert_allclose(got_c, ref, atol=3.5 / 255.0 * 3.0)  # u8 + scale 3
+
+
+def test_color_ramp_hsl_true_interpolation():
+    """HSL ramp mode does TRUE HSL interpolation (color_ramp.cc:97-110),
+    not the HSV approximation of earlier rounds: red->white interpolates
+    through l=0.75 (muted pink), while HSV would pass through v=1
+    (bright pink) — distinguishable at the midpoint. Endpoints
+    round-trip exactly."""
+    from libyafaray_tpu.textures import sample_texture
+    from libyafaray_tpu.textures.eval import (_rgb_to_hsl, _hsl_to_rgb,
+                                              _rgb_to_hsv, _hsv_to_rgb)
+    import jax.numpy as jnp
+
+    # round-trip exactness of the HSL transform pair
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+    h, s, l_ = _rgb_to_hsl(c)
+    back = _hsl_to_rgb(h, s, l_)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(c), atol=2e-6)
+
+    b = _tex_scene({"type": "blend", "stype": "lin", "use_color_ramp": True,
+                    "ramp_color_mode": "hsl",
+                    "ramp_items": [
+                        {"position": 0.0, "color": (1, 0, 0, 1)},
+                        {"position": 1.0, "color": (1, 1, 1, 1)}]})
+    scene = b.compile("cam")
+    p = jnp.asarray([[-1, 0, 0], [1, 0, 0], [0, 0, 0]], jnp.float32)
+    col = np.asarray(sample_texture(scene, jnp.zeros(3, jnp.int32), p,
+                                    p[..., :2]))
+    np.testing.assert_allclose(col[0, :3], (1, 0, 0), atol=1e-4)
+    np.testing.assert_allclose(col[1, :3], (1, 1, 1), atol=1e-4)
+    # analytic midpoint: hsl lerp h=0, s: 1->0 = 0.5, l: 0.5->1 = 0.75
+    mid = _hsl_to_rgb(jnp.asarray(0.0), jnp.asarray(0.5), jnp.asarray(0.75))
+    np.testing.assert_allclose(col[2, :3], np.asarray(mid), atol=1e-3)
+    # ... which differs from the HSV midpoint (h=0, s=0.5, v=1)
+    mid_hsv = _hsv_to_rgb(jnp.asarray(0.0), jnp.asarray(0.5),
+                          jnp.asarray(1.0))
+    assert np.abs(np.asarray(mid) - np.asarray(mid_hsv)).max() > 0.1
+    assert np.abs(col[2, :3] - np.asarray(mid_hsv)).max() > 0.1
