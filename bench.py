@@ -293,16 +293,23 @@ def run_one(config: str, budget: float):
         return "bigmesh_203k", {"rays_per_sec": round(rps, 1),
                                 "triangles": ntris, **info}
     if config == "lbvh":
-        # bigmesh scene through the Karras LBVH (non-default accel) — its
-        # own subprocess so a fault here cannot poison any other number
+        # bigmesh scene with scene_accelerator='bvh' — on TPU backends
+        # this is DEMOTED to the block accelerator (accel/lbvh.py's
+        # per-ray stack walk measured ~5.5k rays/s on v5e and faulted
+        # the device at bench scale in round 3); the number recorded
+        # here documents what a user requesting 'bvh' actually gets.
+        # Own subprocess so any fault cannot poison other numbers.
         from scenes import bigmesh_builder
         res = int(os.environ.get("BENCH_MESH_RES", 320))
         b_bvh = bigmesh_builder(res)
         b_bvh.set_render_params({"scene_accelerator": "bvh"})
+        sc = b_bvh.compile("cam")
+        effective = sc.accel_kind
         rps, info = _bench_render(
             b_bvh, {"type": "pathtracing", "bounces": 2},
             min(budget, 60), spp_target=4)
-        return "lbvh_bigmesh", {"rays_per_sec": round(rps, 1), **info}
+        return "lbvh_bigmesh", {"rays_per_sec": round(rps, 1),
+                                "effective_accel": effective, **info}
     if config == "glossy":
         from scenes import glossy_cornell_builder
         b = glossy_cornell_builder()

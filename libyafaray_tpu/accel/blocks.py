@@ -411,7 +411,7 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         tiles_ok = use_tiles()
     chunk = min(RAY_CHUNK, max(256, n))
     pad = (-n) % chunk
-    inv_order = None
+    sorted_rays = False
     if n > chunk or (tiles_ok and n > 256):
         # Sort rays by (direction octant, coarse origin morton, direction
         # morton): each chunk/tile then has BOTH a tight origin box and a
@@ -420,6 +420,9 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         # gets for free from per-pixel recursion order). Direction bits
         # matter most for pinhole cameras — all origins coincide, and
         # without them a tile is a raster run spanning the full FOV in x.
+        # (origin-first keys measured 2-3x WORSE for secondaries: without
+        # direction clustering the candidate union is unbounded along
+        # each ray — r4 sweep.)
         smin = jnp.min(acc.bmin, axis=0)
         sinv = 1.0 / jnp.maximum(jnp.max(acc.bmax, axis=0) - smin, 1e-12)
         rel = jnp.clip((o - smin) * sinv, 0.0, 1.0)
@@ -432,24 +435,35 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
         # rays) sort to the END: their tiles get zero candidates and the
         # traversal skips them at ~zero cost
         dead = (t_max < t_min).astype(jnp.uint32)
-        import os as _os
-        if _os.environ.get("YAF_SORT_MODE", "oct") == "org":
-            # origin-first: tight origin clusters (any direction) — for
-            # secondary wavefronts whose origins spread over the scene
-            # the candidate union tracks the blocks around the cluster
-            okey_f = morton3d(rel) >> jnp.uint32(11)    # 21 bits (128^3)
-            key = ((dead << jnp.uint32(30))
-                   | (okey_f << jnp.uint32(9)) | (oct_ << jnp.uint32(6))
-                   | (dkey >> jnp.uint32(24)))
-        else:
-            key = ((dead << jnp.uint32(30)) | (oct_ << jnp.uint32(27))
-                   | (okey << jnp.uint32(15)) | dkey)
-        order = jnp.argsort(key).astype(jnp.int32)
-        inv_order = jnp.argsort(order).astype(jnp.int32)
-        o, d = o[order], d[order]
-        t_min, t_max, exclude = t_min[order], t_max[order], exclude[order]
+        key = ((dead << jnp.uint32(30)) | (oct_ << jnp.uint32(27))
+               | (okey << jnp.uint32(15)) | dkey)
+        # ONE variadic sort carries the whole ray payload with the key:
+        # TPU 1-D gathers run ~600x under HBM bandwidth (measured 6.6 ms
+        # per f32[518k] gather on v5e), so argsort + x[order] around each
+        # traversal cost more than the traversal itself; lax.sort's
+        # payload channels sort at full throughput instead
+        iota = jnp.arange(n, dtype=jnp.int32)
+        payload = [iota, o[:, 0], o[:, 1], o[:, 2],
+                   d[:, 0], d[:, 1], d[:, 2], t_min, t_max, exclude]
         if time is not None:
-            time = time[order]
+            payload.append(time)
+        out = jax.lax.sort((key, *payload), dimension=0, num_keys=1)
+        orig_idx = out[1]
+        o = jnp.stack(out[2:5], axis=-1)
+        d = jnp.stack(out[5:8], axis=-1)
+        t_min, t_max, exclude = out[8], out[9], out[10]
+        if time is not None:
+            time = out[11]
+        sorted_rays = True
+    def unsort(bt, bp, bu, bv):
+        """Restore original ray order: a second variadic sort keyed by the
+        carried original index (gather-free, see the sort note above)."""
+        if not sorted_rays:
+            return bt, bp, jnp.stack([bu, bv], axis=-1)
+        _, bt, bp, bu, bv = jax.lax.sort(
+            (orig_idx, bt, bp, bu, bv), dimension=0, num_keys=1)
+        return bt, bp, jnp.stack([bu, bv], axis=-1)
+
     if tiles_ok:
         from .tiles import tiles_traverse
         bt, bp, bu, bv = tiles_traverse(
@@ -460,14 +474,12 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
             tab_t2=acc.tab_t2 if time is not None else None,
             time=time,
             shadow=(vis_bit == 2), any_hit=any_hit)
-        buv = jnp.stack([bu, bv], axis=-1)
-        if inv_order is not None:
-            bt, bp, buv = bt[inv_order], bp[inv_order], buv[inv_order]
-            o, d = o[inv_order], d[inv_order]
-            t_min, t_max, exclude = (t_min[inv_order], t_max[inv_order],
-                                     exclude[inv_order])
-        return _sphere_pass(geom, o, d, t_min, t_max, exclude, vis_bit,
-                            bt, bp, buv)
+        # sphere pass runs in SORTED order (order-independent), then one
+        # variadic sort restores the original ray order
+        bt, bp, buv = _sphere_pass(geom, o, d, t_min, t_max, exclude,
+                                   vis_bit, bt, bp,
+                                   jnp.stack([bu, bv], axis=-1))
+        return unsort(bt, bp, buv[..., 0], buv[..., 1])
 
     def padded(x, fill):
         return jnp.concatenate(
@@ -495,14 +507,9 @@ def query(acc: BlockAccel, geom: Geometry, o, d, t_min, t_max, exclude,
             (os_, ds_, tmins, tmaxs, excl, times))
         bt, bp, buv = bt.reshape(-1), bp.reshape(-1), buv.reshape(-1, 2)
     bt, bp, buv = bt[:n], bp[:n], buv[:n]
-    if inv_order is not None:
-        bt, bp, buv = bt[inv_order], bp[inv_order], buv[inv_order]
-        o, d = o[inv_order], d[inv_order]
-        t_min, t_max, exclude = (t_min[inv_order], t_max[inv_order],
-                                 exclude[inv_order])
-
-    return _sphere_pass(geom, o, d, t_min, t_max, exclude, vis_bit,
-                        bt, bp, buv)
+    bt, bp, buv = _sphere_pass(geom, o, d, t_min, t_max, exclude, vis_bit,
+                               bt, bp, buv)
+    return unsort(bt, bp, buv[..., 0], buv[..., 1])
 
 
 def _sphere_pass(geom: Geometry, o, d, t_min, t_max, exclude, vis_bit: int,

@@ -170,13 +170,38 @@ def draw_text(img: np.ndarray, text: str, x: int, y: int,
     return img
 
 
+def _draw_text_pil(img: np.ndarray, text: str, x: int, y: int,
+                   color, scale: int) -> bool:
+    """Antialiased text via PIL's built-in scalable font (FreeType-backed
+    in Pillow — the quality tier of the reference's FreeType badge,
+    badge.cc:120-148, without an external font file). Returns False when
+    PIL is unavailable so the caller can fall back to the 5x7 bitmap."""
+    try:
+        from PIL import Image, ImageDraw, ImageFont
+    except Exception:
+        return False
+    try:
+        font = ImageFont.load_default(size=10 * scale)
+    except TypeError:     # older Pillow: fixed-size bitmap default font
+        font = ImageFont.load_default()
+    h, w = img.shape[:2]
+    mask_img = Image.new("L", (w, h), 0)
+    ImageDraw.Draw(mask_img).text((x, y), text, fill=255, font=font)
+    mask = np.asarray(mask_img, np.float32)[..., None] / 255.0
+    col = np.asarray(color, np.float32)
+    img[..., :3] = img[..., :3] * (1.0 - mask) + col * mask
+    return True
+
+
 def draw_badge(img: np.ndarray, lines, position: str = "bottom",
                bg_color=(0.05, 0.05, 0.05), text_color=(0.9, 0.9, 0.9),
                scale: int = 1) -> np.ndarray:
     """Render-stats banner (Badge analogue, badge.cc:47-148): a solid strip
-    at top/bottom with one or more text lines (title/author/render params)."""
+    at top/bottom with one or more text lines (title/author/render
+    params). Text is antialiased via PIL/FreeType when available; the
+    built-in 5x7 bitmap font keeps it dependency-free otherwise."""
     img = np.array(img, np.float32, copy=True)
-    line_h = 9 * scale
+    line_h = 12 * scale
     strip_h = line_h * len(lines) + 4 * scale
     h = img.shape[0]
     if position == "top":
@@ -185,6 +210,7 @@ def draw_badge(img: np.ndarray, lines, position: str = "bottom",
         y0 = max(h - strip_h, 0)
     img[y0:y0 + strip_h, :, :3] = np.asarray(bg_color, np.float32)
     for i, line in enumerate(lines):
-        draw_text(img, line, 3 * scale, y0 + 2 * scale + i * line_h,
-                  text_color, scale)
+        ty = y0 + 2 * scale + i * line_h
+        if not _draw_text_pil(img, line, 3 * scale, ty, text_color, scale):
+            draw_text(img, line, 3 * scale, ty, text_color, scale)
     return img

@@ -198,10 +198,10 @@ def eval_bump(scene: SceneData, sp):
     _, v0 = run_program(scene, sp)
     _, vu = run_program(scene, sp, p=sp.p + eps * sp.nu)
     _, vv = run_program(scene, sp, p=sp.p + eps * sp.nv)
-    lanes = jnp.arange(sp.p.shape[0])
     idx = jnp.maximum(nb, 0)
-    du = (vu[lanes, idx] - v0[lanes, idx]) / eps
-    dv = (vv[lanes, idx] - v0[lanes, idx]) / eps
+    from .nodes import _pick_col
+    du = (_pick_col(vu, idx) - _pick_col(v0, idx)) / eps
+    dv = (_pick_col(vv, idx) - _pick_col(v0, idx)) / eps
     # bump strength is a per-node static param; gather dynamically
     bs = scene.nodes.params_f[idx, 22]
     n_new = vec.normalize(sp.n - bs[..., None] * (du[..., None] * sp.nu

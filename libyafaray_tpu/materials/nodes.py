@@ -46,18 +46,25 @@ def _slots(scene: SceneData, sp):
     return eval_program(scene, sp)
 
 
+def _pick_col(tab: Array, idx: Array) -> Array:
+    """Per-lane column pick from [N, S(, C)] as a one-hot masked sum:
+    dynamic second-index gathers lower ~600x under HBM bandwidth on TPU
+    (see textures/image.py); the node-slot count S is small so the dense
+    masked sum is VPU-cheap."""
+    onehot = idx[:, None] == jnp.arange(tab.shape[1])[None, :]
+    if tab.ndim == 3:
+        onehot = onehot[..., None]
+    return jnp.sum(jnp.where(onehot, tab, 0), axis=1)
+
+
 def eval_color_slot(scene: SceneData, sp, node_id: Array) -> Array:
     cols, _ = _slots(scene, sp)
-    idx = jnp.maximum(node_id, 0)
-    lanes = jnp.arange(idx.shape[0])
-    return cols[lanes, idx]
+    return _pick_col(cols, jnp.maximum(node_id, 0))
 
 
 def eval_scalar_slot(scene: SceneData, sp, node_id: Array) -> Array:
     _, floats = _slots(scene, sp)
-    idx = jnp.maximum(node_id, 0)
-    lanes = jnp.arange(idx.shape[0])
-    return floats[lanes, idx]
+    return _pick_col(floats, jnp.maximum(node_id, 0))
 
 
 def apply_overrides(scene: SceneData, sp, mat_id: Array, mp):
@@ -65,16 +72,15 @@ def apply_overrides(scene: SceneData, sp, mat_id: Array, mp):
     outputs (NodeMaterial::getShaderColor analogue)."""
     mats = scene.materials
     cols, floats = _slots(scene, sp)
-    lanes = jnp.arange(sp.p.shape[0])
 
     def col_override(node_col, cur):
         nid = node_col[mat_id]
-        val = cols[lanes, jnp.maximum(nid, 0)][..., :3]
+        val = _pick_col(cols, jnp.maximum(nid, 0))[..., :3]
         return jnp.where((nid >= 0)[..., None], val, cur)
 
     def f_override(node_col, cur):
         nid = node_col[mat_id]
-        val = floats[lanes, jnp.maximum(nid, 0)]
+        val = _pick_col(floats, jnp.maximum(nid, 0))
         return jnp.where(nid >= 0, val, cur)
 
     return mp.replace(

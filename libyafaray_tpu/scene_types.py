@@ -374,6 +374,11 @@ class TexturePool:
     used_types: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     used_noise: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     max_octaves: int = struct.field(pytree_node=False, default=2)
+    # the set of image-interpolation modes present (keys of _INTERP):
+    # sample_image traces the trilinear/EWA machinery (2 / 17 extra
+    # bilinear probes per lane) only when a texture actually uses it
+    used_interps: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                 default=(0, 1, 2, 3, 4))
 
 
 @struct.dataclass

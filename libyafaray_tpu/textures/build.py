@@ -267,6 +267,7 @@ def build_pool(builder) -> TexturePool:
         used_types=tuple(sorted(set(int(t) for t in tex_type))),
         used_noise=tuple(sorted(used_noise)) or (0,),
         max_octaves=int(max_oct),
+        used_interps=tuple(sorted(set(int(i) for i in interp))),
     )
     return pool
 

@@ -100,11 +100,18 @@ def apply_ramp(pool, tex_id: Array, inten: Array, col: Array) -> Array:
     i0 = jnp.clip(idx, 0, R - 1)
     i1 = jnp.clip(idx + 1, 0, R - 1)
     i1 = jnp.minimum(i1, jnp.maximum(cnt - 1, 0))
-    lanes = jnp.arange(x.shape[0])
-    p0 = pos[lanes, i0]
-    p1 = pos[lanes, i1]
-    c0 = cols[lanes, i0]
-    c1 = cols[lanes, i1]
+
+    # per-ray column pick as a one-hot masked sum: a dynamic second-index
+    # gather lowers ~600x under HBM bandwidth on TPU (see textures/image.py)
+    def pick(tab, ii):
+        onehot = ii[:, None] == jnp.arange(R)[None, :]
+        if tab.ndim == 3:
+            onehot = onehot[..., None]
+        return jnp.sum(jnp.where(onehot, tab, 0), axis=1)
+    p0 = pick(pos, i0)
+    p1 = pick(pos, i1)
+    c0 = pick(cols, i0)
+    c1 = pick(cols, i1)
     t = jnp.clip((x - p0) / jnp.maximum(p1 - p0, 1e-9), 0.0, 1.0)
     t = jnp.where(i0 == i1, 0.0, t)
     lin = c0 + (c1 - c0) * t[..., None]

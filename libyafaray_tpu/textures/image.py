@@ -145,6 +145,21 @@ def sample_image(pool: TexturePool, tex_id: Array, uv: Array,
     out = _sample_level(pool, tex_id, u % 1.0, v % 1.0, base0, w0, h0, interp)
 
     wants_mip = (interp == 3) | (interp == 4)
+    # static gating: the trilinear/EWA machinery costs 2 / 17 extra
+    # bilinear probes PER LANE (masked, so every lane pays) — trace it
+    # only when some texture actually uses mipmap interpolation
+    any_mip = 3 in pool.used_interps or 4 in pool.used_interps
+    any_ewa = 4 in pool.used_interps
+
+    # per-ray mip rows gathered ONCE as [N, L]; the per-ray LEVEL pick is
+    # a one-hot masked sum — a dynamic column select lowers to a ~600x-
+    # under-bandwidth gather on TPU (measured 6.7 ms per f32[518k] pick)
+    mip_rows = pool.mip_offsets[tex_id] if any_mip else None
+
+    def _pick(level_idx):
+        onehot = (level_idx[:, None]
+                  == jnp.arange(mip_rows.shape[1])[None, :])
+        return jnp.sum(jnp.where(onehot, mip_rows, 0), axis=1)
 
     def trilinear(uq, vq, lod_c):
         l0 = jnp.floor(lod_c).astype(jnp.int32)
@@ -152,7 +167,7 @@ def sample_image(pool: TexturePool, tex_id: Array, uv: Array,
         fl = (lod_c - l0.astype(jnp.float32))[..., None]
 
         def level(li):
-            base = pool.mip_offsets[tex_id, li]
+            base = _pick(li)
             wl = jnp.maximum(w0 >> li, 1)
             hl = jnp.maximum(h0 >> li, 1)
             return _sample_level(pool, tex_id, uq % 1.0, vq % 1.0,
@@ -161,7 +176,9 @@ def sample_image(pool: TexturePool, tex_id: Array, uv: Array,
         return level(l0) * (1 - fl) + level(l1) * fl
 
     nm_f = jnp.maximum(pool.num_mips[tex_id] - 1, 0).astype(jnp.float32)
-    if lod is None and duv_dx is not None:
+    if not any_mip:
+        pass
+    elif lod is None and duv_dx is not None:
         # uv derivatives were computed in texture space scaled like u,v:
         # account for crop/repeat scaling already applied to u,v above
         sx = jnp.where(has_crop, xrep * (cmaxx - cminx), xrep)
@@ -183,18 +200,19 @@ def sample_image(pool: TexturePool, tex_id: Array, uv: Array,
         lod_ewa = jnp.clip(jnp.log2(jnp.maximum(minor, 1e-9)) + pf[..., 8],
                            0.0, nm_f)
         tri = trilinear(u, v, lod_tri)
-        # EWA: Gaussian-weighted probes along the major axis
-        maj_uv = jnp.where((lx >= ly)[..., None], dx, dy)
-        ts = jnp.linspace(-0.5, 0.5, EWA_TAPS).astype(jnp.float32)
-        wts = jnp.exp(-2.0 * (ts * 2.0) ** 2)
-        wts = wts / wts.sum()
-        ewa = 0.0
-        for k in range(EWA_TAPS):
-            ewa = ewa + wts[k] * trilinear(u + ts[k] * maj_uv[..., 0],
-                                           v + ts[k] * maj_uv[..., 1],
-                                           lod_ewa)
         out = jnp.where((interp == 3)[..., None], tri, out)
-        out = jnp.where((interp == 4)[..., None], ewa, out)
+        if any_ewa:
+            # EWA: Gaussian-weighted probes along the major axis
+            maj_uv = jnp.where((lx >= ly)[..., None], dx, dy)
+            ts = jnp.linspace(-0.5, 0.5, EWA_TAPS).astype(jnp.float32)
+            wts = jnp.exp(-2.0 * (ts * 2.0) ** 2)
+            wts = wts / wts.sum()
+            ewa = 0.0
+            for k in range(EWA_TAPS):
+                ewa = ewa + wts[k] * trilinear(u + ts[k] * maj_uv[..., 0],
+                                               v + ts[k] * maj_uv[..., 1],
+                                               lod_ewa)
+            out = jnp.where((interp == 4)[..., None], ewa, out)
     elif lod is not None:
         lod_c = jnp.clip(lod + pf[..., 8], 0.0, nm_f)
         tri = trilinear(u, v, lod_c)

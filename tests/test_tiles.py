@@ -143,3 +143,32 @@ def test_tiles_motion_blur_matches_scan(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(t)[valid],
                                np.asarray(ref.t)[valid], rtol=1e-4,
                                atol=1e-6)
+
+
+def test_query_sorted_path_matches_oracle(rng, monkeypatch):
+    """blocks.query with n > RAY_CHUNK exercises the variadic-sort ray
+    reordering (sort-carry + sort-back, no gathers); must match the scan
+    oracle in original ray order, including dead rays (empty t-range)."""
+    from libyafaray_tpu.accel import blocks as BL
+    f, n = 900, 9000
+    geom = _random_geom(rng, f)
+    acc = build_blocks(geom)
+    o, d = _rays(rng, n)
+    t_min = jnp.full(n, 1e-4)
+    # a scattering of dead rays (terminated paths)
+    t_max = jnp.where(jnp.arange(n) % 7 == 3, -1.0, 1e30)
+    excl = jnp.full(n, -1, jnp.int32).at[::11].set(3)
+
+    monkeypatch.setattr(I, "_pallas_ok", lambda g: False)
+    ref = I._brute_closest(geom, o, d, t_min, t_max, excl)
+
+    bt, bp, buv = BL.query(acc, geom, o, d, t_min, t_max, excl, 1, False)
+    valid = np.asarray(bp) >= 0
+    np.testing.assert_array_equal(valid, np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(bp)[valid],
+                                  np.asarray(ref.prim)[valid])
+    np.testing.assert_allclose(np.asarray(bt)[valid],
+                               np.asarray(ref.t)[valid], rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(buv)[valid],
+                               np.asarray(ref.uv)[valid], atol=1e-4)
