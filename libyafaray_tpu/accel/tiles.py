@@ -243,7 +243,9 @@ def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
     v_ref[:, :] = best_v
 
 
-SUPER = 16         # blocks per superblock in the exact per-ray prepass
+# blocks per superblock in the exact per-ray candidate prepass:
+# smaller = tighter unions but a pricier [N, C/SUPER] slab pass
+SUPER = int(_os.environ.get("YAF_SUPER", "16"))
 
 
 def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
