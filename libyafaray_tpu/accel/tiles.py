@@ -243,9 +243,15 @@ def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
     v_ref[:, :] = best_v
 
 
-# blocks per superblock in the exact per-ray candidate prepass:
-# smaller = tighter unions but a pricier [N, C/SUPER] slab pass
-SUPER = int(_os.environ.get("YAF_SUPER", "16"))
+# blocks per superblock in the exact per-ray candidate prepass. 1 =
+# per-BLOCK exact candidates (tightest unions + best front-to-back
+# ordering); measured monotonically better down to 1 on v5e for
+# incoherent wavefronts (bounce 2.0 -> 3.9, env-shadow 1.5 -> 2.9
+# Mrays/s on the 203k-tri scene) and affordable at any scene size
+# because the block count is capped at MAX_BLOCKS=4096 (the block SIZE
+# grows instead). >1 trades union tightness for a smaller [N, C/SUPER]
+# prepass. Env override for experiments.
+SUPER = int(_os.environ.get("YAF_SUPER", "1"))
 
 
 def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
@@ -356,20 +362,17 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     bound on the slab entry distance (so kernel early-exit is exact:
     once ent > best_t for every ray no nearer hit can exist).
 
-    Two tests are combined per block:
-      1. the per-tile interval slab test (origin box x inv-direction
-         interval) — exact-ish for coherent tiles but DEGENERATE for
-         incoherent ones: near-zero direction components blow the inverse
-         interval up to +-1e12, the interval product spans everything,
-         and nearly all C blocks become candidates with entry ~tmin
-         (measured on the 203k-tri bench scene: bounce wavefronts
-         averaged 169 candidate blocks/tile with useless ordering);
-      2. an EXACT per-ray slab test against superblock AABBs (groups of
-         SUPER morton-consecutive blocks): a block survives only if some
-         ray actually enters its superblock, and its entry bound is
-         tightened by the tile's exact superblock entry (min over rays).
-         This kills the degenerate explosion — work again tracks the true
-         per-ray overlap set (same 203k scene: 169 -> ~30 cand/tile).
+    The candidate set is the EXACT per-ray slab overlap at (super)block
+    granularity — a block survives only if some ray actually enters its
+    (super)block AABB within its live t-range, and the entry key is the
+    tile-min of the exact per-ray entries, so front-to-back ordering is
+    real even for incoherent wavefronts. (The per-tile interval slab
+    test used in earlier rounds DEGENERATES there: near-zero direction
+    components blow the inverse intervals up to +-1e12 and nearly all C
+    blocks became candidates with entry ~tmin — 169 cand/tile measured
+    on the 203k-tri bench scene vs 31 exact.) With SUPER > 1 the exact
+    pass runs on superblock AABBs and the interval test refines within,
+    trading union tightness for a smaller [N, S] pass.
     """
     c = bmin.shape[0]
     n = o.shape[0]
@@ -377,32 +380,36 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                           jnp.where(d < 0, -1e-12, 1e-12), d)
     ot = o.reshape(t, RAY_TILE, 3)
-    olo, ohi = jnp.min(ot, 1), jnp.max(ot, 1)
     it_ = inv.reshape(t, RAY_TILE, 3)
-    ilo, ihi = jnp.min(it_, 1), jnp.max(it_, 1)
     tmin_lo = jnp.min(t_min.reshape(t, RAY_TILE), 1)
     tmax_hi = jnp.max(t_max.reshape(t, RAY_TILE), 1)
 
-    def ival_mul(p_lo, p_hi):
-        # interval product [p_lo,p_hi] x [ilo,ihi] -> [lo, hi]
-        a = p_lo * ilo[:, None]
-        b = p_lo * ihi[:, None]
-        cc = p_hi * ilo[:, None]
-        dd = p_hi * ihi[:, None]
-        return (jnp.minimum(jnp.minimum(a, b), jnp.minimum(cc, dd)),
-                jnp.maximum(jnp.maximum(a, b), jnp.maximum(cc, dd)))
+    if SUPER > 1:
+        olo, ohi = jnp.min(ot, 1), jnp.max(ot, 1)
+        ilo, ihi = jnp.min(it_, 1), jnp.max(it_, 1)
 
-    a_lo, a_hi = ival_mul(bmin[None] - ohi[:, None], bmin[None] - olo[:, None])
-    b_lo, b_hi = ival_mul(bmax[None] - ohi[:, None], bmax[None] - olo[:, None])
-    near_lo = jnp.minimum(a_lo, b_lo)    # [T, C, 3] lower bnd of min(a,b)
-    far_hi = jnp.maximum(a_hi, b_hi)     # upper bnd of max(a,b)
-    tile_near = jnp.max(near_lo, -1)     # [T, C] lower bnd of slab entry
-    tile_far = jnp.min(far_hi, -1)       # upper bnd of slab exit
-    overlap = ((tile_near <= tile_far) & (tile_far >= tmin_lo[:, None])
-               & (tile_near <= tmax_hi[:, None]))
-    key = jnp.maximum(tile_near, tmin_lo[:, None])
+        def ival_mul(p_lo, p_hi):
+            # interval product [p_lo,p_hi] x [ilo,ihi] -> [lo, hi]
+            a = p_lo * ilo[:, None]
+            b = p_lo * ihi[:, None]
+            cc = p_hi * ilo[:, None]
+            dd = p_hi * ihi[:, None]
+            return (jnp.minimum(jnp.minimum(a, b), jnp.minimum(cc, dd)),
+                    jnp.maximum(jnp.maximum(a, b), jnp.maximum(cc, dd)))
 
-    # ---- exact per-ray superblock refinement (test 2) ----
+        a_lo, a_hi = ival_mul(bmin[None] - ohi[:, None],
+                              bmin[None] - olo[:, None])
+        b_lo, b_hi = ival_mul(bmax[None] - ohi[:, None],
+                              bmax[None] - olo[:, None])
+        near_lo = jnp.minimum(a_lo, b_lo)  # [T, C, 3] lower bnd of min(a,b)
+        far_hi = jnp.maximum(a_hi, b_hi)   # upper bnd of max(a,b)
+        tile_near = jnp.max(near_lo, -1)   # [T, C] lower bnd of slab entry
+        tile_far = jnp.min(far_hi, -1)     # upper bnd of slab exit
+        overlap = ((tile_near <= tile_far) & (tile_far >= tmin_lo[:, None])
+                   & (tile_near <= tmax_hi[:, None]))
+        key = jnp.maximum(tile_near, tmin_lo[:, None])
+
+    # ---- exact per-ray (super)block slab pass ----
     s = -(-c // SUPER)
     pad_c = s * SUPER - c
     bm = bmin if pad_c == 0 else jnp.concatenate(
@@ -436,11 +443,17 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     sb_ent = jax.lax.map(tile_chunk, (ocs, ics, t0s, t1s))
     sb_ent = sb_ent.reshape(tpad, s)[:t]               # [T, S] inf = miss
 
-    sb_of_blk = jnp.arange(c, dtype=jnp.int32) // SUPER
-    sb_ent_blk = sb_ent[:, sb_of_blk]                  # [T, C]
-    overlap = overlap & jnp.isfinite(sb_ent_blk)
-    key = jnp.maximum(key, sb_ent_blk)
-    # ---- end refinement ----
+    if SUPER > 1:
+        sb_of_blk = jnp.arange(c, dtype=jnp.int32) // SUPER
+        sb_ent_blk = sb_ent[:, sb_of_blk]              # [T, C]
+        overlap = overlap & jnp.isfinite(sb_ent_blk)
+        key = jnp.maximum(key, sb_ent_blk)
+    else:
+        # SUPER == 1: the exact pass IS block-granular — the interval
+        # test is strictly looser and skipped entirely
+        key = sb_ent
+        overlap = jnp.isfinite(key)
+    # ---- end candidate tests ----
 
     key = jnp.where(overlap, key, jnp.inf)
     ent, cand = jax.lax.sort(
