@@ -152,12 +152,18 @@ def bench_cornell_fwd_bwd(budget_s: float):
     dt = time.time() - t0
     info = dict(width=width, height=height, bounces=bounces)
     if flops_per_chunk:
-        # v5e (TPU v5 lite) peak: 197 TFLOP/s bf16 MXU. The tracer is
-        # f32 VPU-dominated, so MFU vs MXU peak is a *roofline position*
-        # statement, not a utilization target.
+        # Roofline position: a wavefront path tracer is f32 VPU- and
+        # gather/sort-bound, not matmul-bound, so utilization is stated
+        # against BOTH the chip's bf16 MXU peak (197 TFLOP/s on v5e —
+        # headline-comparable but unreachable for this op mix) and an
+        # estimated f32 VPU peak (~4 TFLOP/s: 8x128 lanes x 4 ALUs x
+        # ~0.94 GHz FMA). XLA's cost analysis undercounts by whatever
+        # the Pallas intersect kernel contributes beyond its declared
+        # CostEstimate.
         achieved = flops_per_chunk * done_chunks / dt
         info["achieved_tflops"] = round(achieved / 1e12, 3)
-        info["mfu_vs_bf16_peak"] = round(achieved / 197e12, 4)
+        info["mfu_vs_bf16_mxu_peak"] = round(achieved / 197e12, 5)
+        info["mfu_vs_f32_vpu_peak_est"] = round(achieved / 4e12, 4)
         info["flops_per_camera_ray"] = round(flops_per_chunk / n_chunk, 1)
     return done_rays / dt, info
 
