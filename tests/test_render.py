@@ -617,3 +617,37 @@ def test_sss_interior_scatter():
     assert np.isfinite(img_s).all()
     assert img_s.max() < 50.0
     assert np.abs(img_s - img_b).max() > 1e-3
+
+
+def test_adaptive_aa_compaction_saves_time():
+    """Compacted adaptive passes cost ~ the flagged fraction of a full
+    pass (imagefilm.cc:259-445 work-saving intent): a pass over a 2%
+    pixel bucket must be several times faster than a full-resolution
+    pass on the same scene (wall-time, generous margin for dispatch
+    noise)."""
+    import time as _time
+    from libyafaray_tpu.render import _render_pass_jit, _render_ids_jit
+    scene = cornell_builder().compile("cam")
+    cfg = make_integrator({"type": "pathtracing", "bounces": 3})
+    w = h = 128
+    film = F.make_film(w, h)
+    # warm both programs
+    film = _render_pass_jit(scene, cfg, film, jnp.uint32(0), None)
+    ids = jnp.arange(256, dtype=jnp.uint32) * jnp.uint32(7)
+    live = jnp.ones((256,), bool)
+    film = _render_ids_jit(scene, cfg, film, jnp.uint32(1), ids, live)
+    jax.block_until_ready(film.weights)
+
+    t0 = _time.time()
+    for s in range(2, 5):
+        film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), None)
+    jax.block_until_ready(film.weights)
+    t_full = (_time.time() - t0) / 3
+
+    t0 = _time.time()
+    for s in range(5, 8):
+        film = _render_ids_jit(scene, cfg, film, jnp.uint32(s), ids, live)
+    jax.block_until_ready(film.weights)
+    t_small = (_time.time() - t0) / 3
+    # 256 of 16384 pixels = 1.6%; demand at least 3x wall-time saving
+    assert t_small * 3 < t_full, (t_small, t_full)
