@@ -79,7 +79,7 @@ def bench_cornell_fwd_bwd(budget_s: float):
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     spp = int(os.environ.get("BENCH_SPP", 16))
     bounces = int(os.environ.get("BENCH_BOUNCES", 4))
-    rows_per_chunk = int(os.environ.get("BENCH_CHUNK_ROWS", 135))
+    rows_per_chunk = int(os.environ.get("BENCH_CHUNK_ROWS", 270))
 
     b = cornell_builder()
     b.cameras["cam"]["resx"] = width
