@@ -251,17 +251,19 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
     # warmup/compile
     film = _render_pass_jit(scene, cfg, film, jnp.uint32(0), None)
     film.weights.block_until_ready()
+    # airtight timing: block after EVERY pass (a queued-but-unfinished
+    # dispatch once produced a wildly flattering number when a
+    # block_until_ready returned early; per-pass blocking costs <1% at
+    # these pass sizes and makes the clock honest)
     t0 = time.time()
     deadline = t0 + budget_s
     passes = 0
     for s in range(1, spp_target + 1):
         film = _render_pass_jit(scene, cfg, film, jnp.uint32(s), None)
+        film.weights.block_until_ready()
         passes += 1
-        if s % 2 == 0:
-            film.weights.block_until_ready()
-            if time.time() > deadline:
-                break
-    film.weights.block_until_ready()
+        if time.time() > deadline:
+            break
     dt = time.time() - t0
     extras = {"res": f"{w}x{h}", "passes": passes}
     if profile:
