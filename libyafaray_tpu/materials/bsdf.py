@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..ops.fast_grad import take as fast_take
+
 from ..math import vec
 from ..scene_types import (
     MAT_BLEND, MAT_COATED_GLOSSY, MAT_GLASS, MAT_GLOSSY, MAT_LIGHT, MAT_MASK,
@@ -83,29 +85,32 @@ class MP:
 
 
 def gather_mp(mats: MaterialTable, mat_id: Array) -> MP:
+    # fast-gradient gathers: parameter gradients reduce onto the small
+    # material table via one-hot MXU matmuls instead of per-column
+    # scatter-adds (ops/fast_grad.py)
     return MP(
         present=mats.present_types, has_oren=mats.has_oren,
         has_aniso=mats.has_aniso, has_fresnel=mats.has_fresnel,
         mat_type=mats.mat_type[mat_id],
-        diffuse_color=mats.diffuse_color[mat_id],
-        glossy_color=mats.glossy_color[mat_id],
-        mirror_color=mats.mirror_color[mat_id],
-        filter_color=mats.filter_color[mat_id],
-        absorption=mats.absorption[mat_id],
-        emit_color=mats.emit_color[mat_id],
-        specular_refl=mats.specular_refl[mat_id],
-        transparency=mats.transparency[mat_id],
-        translucency=mats.translucency[mat_id],
-        diffuse_reflect=mats.diffuse_reflect[mat_id],
-        glossy_reflect=mats.glossy_reflect[mat_id],
-        exponent=mats.exponent[mat_id],
-        exp_u=mats.exp_u[mat_id],
-        exp_v=mats.exp_v[mat_id],
-        alpha=mats.alpha[mat_id],
-        ior=mats.ior[mat_id],
+        diffuse_color=fast_take(mats.diffuse_color, mat_id),
+        glossy_color=fast_take(mats.glossy_color, mat_id),
+        mirror_color=fast_take(mats.mirror_color, mat_id),
+        filter_color=fast_take(mats.filter_color, mat_id),
+        absorption=fast_take(mats.absorption, mat_id),
+        emit_color=fast_take(mats.emit_color, mat_id),
+        specular_refl=fast_take(mats.specular_refl, mat_id),
+        transparency=fast_take(mats.transparency, mat_id),
+        translucency=fast_take(mats.translucency, mat_id),
+        diffuse_reflect=fast_take(mats.diffuse_reflect, mat_id),
+        glossy_reflect=fast_take(mats.glossy_reflect, mat_id),
+        exponent=fast_take(mats.exponent, mat_id),
+        exp_u=fast_take(mats.exp_u, mat_id),
+        exp_v=fast_take(mats.exp_v, mat_id),
+        alpha=fast_take(mats.alpha, mat_id),
+        ior=fast_take(mats.ior, mat_id),
         mat_flags=mats.mat_flags[mat_id],
-        sigma=mats.sigma[mat_id],
-        blend_value=mats.blend_value[mat_id],
+        sigma=fast_take(mats.sigma, mat_id),
+        blend_value=fast_take(mats.blend_value, mat_id),
     )
 
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..scene_types import TexturePool
+from ..ops.fast_grad import take as fast_take
 
 Array = jax.Array
 
@@ -36,72 +37,16 @@ def _wrap(coord: Array, n: Array, extend: Array, mirror: Array):
     return out, inside
 
 
-# texel pools up to this many rows get the matmul-backward gather below
-_MATMUL_GRAD_ROWS = 4096
-_GRAD_CHUNK = 16384
-
-
-import functools as _ft
-
-
-@_ft.lru_cache(maxsize=None)
-def _texel_take_for(rows: int):
-    """Gather from an f32 [rows, C] pool whose BACKWARD is a chunked
-    one-hot MATMUL instead of the scatter-add XLA derives for a gather:
-    on TPU each [N]->[rows,4] scatter-add measured ~2.3 ms (231 of them
-    = 510 ms of a caustic fwd+bwd step); the MXU contraction
-    grad[t,c] = sum_n (idx==t)*g[n,c] does the same reduction in a
-    fraction of that. Only used for small f32 pools (_MATMUL_GRAD_ROWS);
-    `rows` is baked per cached instance because custom_vjp residuals
-    must be JAX types."""
-
-    @jax.custom_vjp
-    def take(pool_arr, flat_idx):
-        return pool_arr[flat_idx]
-
-    def fwd(pool_arr, flat_idx):
-        return pool_arr[flat_idx], flat_idx
-
-    def bwd(flat_idx, g):
-        n = flat_idx.shape[0]
-        npad = -(-n // _GRAD_CHUNK) * _GRAD_CHUNK
-        idx = jnp.concatenate(
-            [flat_idx, jnp.full((npad - n,), rows, flat_idx.dtype)]) \
-            if npad != n else flat_idx
-        gp = jnp.concatenate(
-            [g, jnp.zeros((npad - n,) + g.shape[1:], g.dtype)]) \
-            if npad != n else g
-        idx = idx.reshape(-1, _GRAD_CHUNK)
-        gp = gp.reshape(idx.shape[0], _GRAD_CHUNK, *g.shape[1:])
-
-        def chunk(acc, args):
-            ic, gc = args
-            onehot = (ic[:, None] == jnp.arange(rows)[None, :]
-                      ).astype(jnp.float32)
-            return acc + jax.lax.dot_general(
-                onehot, gc.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), None
-
-        zero = jnp.zeros((rows,) + g.shape[1:], jnp.float32)
-        grad, _ = jax.lax.scan(chunk, zero, (idx, gp))
-        return grad, None
-
-    take.defvjp(fwd, bwd)
-    return take
-
-
 def _fetch(pool: TexturePool, base: Array, w: Array, h: Array,
            xi: Array, yi: Array, extend: Array, mx: Array, my: Array):
     xw, in_x = _wrap(xi, w, extend, mx)
     yw, in_y = _wrap(yi, h, extend, my)
     inside = in_x & in_y
     flat = base + yw * w + xw
-    if (pool.texel_pool.shape[0] <= _MATMUL_GRAD_ROWS
-            and pool.texel_pool.dtype == jnp.float32):
-        texel = _texel_take_for(pool.texel_pool.shape[0])(
-            pool.texel_pool, flat)
-    else:
-        texel = pool.texel_pool[flat]
+    # fast-gradient gather: the texel-pool VJP becomes a chunked one-hot
+    # MXU matmul instead of a ~2.3 ms scatter-add (ops/fast_grad.py;
+    # measured 2.8x on the caustic fwd+bwd config)
+    texel = fast_take(pool.texel_pool, flat)
     if texel.dtype == jnp.uint8:
         # compressed pool: dequantize (scale applied by the caller per-tex)
         texel = texel.astype(jnp.float32) * (1.0 / 255.0)
