@@ -18,8 +18,12 @@ chip:
   - glossy: config 2 — Cornell + glossy box, 4-bounce PT.
   - caustic: config 4 — dielectric caustics, fwd+bwd with IOR/texel grads.
   - volume: config 5 — homogeneous scattering volume + emissive mesh.
-  - lbvh (optional): the Karras LBVH on the bigmesh scene, perf record
-    for the non-default accelerator.
+
+A 'bvh_demoted' config exists but is NOT in the default sweep: on TPU a
+scene_accelerator='bvh' request is demoted to the blocks accelerator, so
+the config measures the production path twice (VERDICT r4 weak #7) — it
+is only useful to document what a user requesting 'bvh' actually gets
+(run with BENCH_CONFIGS=bvh_demoted).
 
 ISOLATION: each config runs in its OWN subprocess (this file re-invoked
 with BENCH_CONFIGS=<one config>). A TPU device fault poisons the whole
@@ -47,7 +51,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-ALL_CONFIGS = ("cornell", "bigmesh", "glossy", "caustic", "volume", "lbvh")
+ALL_CONFIGS = ("cornell", "bigmesh", "glossy", "caustic", "volume")
 
 
 def _jax_setup():
@@ -300,13 +304,14 @@ def run_one(config: str, budget: float):
         ntris = 2 * (res - 1) * (res - 1)
         return "bigmesh_203k", {"rays_per_sec": round(rps, 1),
                                 "triangles": ntris, **info}
-    if config == "lbvh":
+    if config == "bvh_demoted":
         # bigmesh scene with scene_accelerator='bvh' — on TPU backends
         # this is DEMOTED to the block accelerator (accel/lbvh.py's
         # per-ray stack walk measured ~5.5k rays/s on v5e and faulted
         # the device at bench scale in round 3); the number recorded
-        # here documents what a user requesting 'bvh' actually gets.
-        # Own subprocess so any fault cannot poison other numbers.
+        # here documents what a user requesting 'bvh' actually gets
+        # (the blocks path, measured a second time). NOT in the default
+        # sweep — no independent LBVH perf record exists on TPU.
         from scenes import bigmesh_builder
         res = int(os.environ.get("BENCH_MESH_RES", 320))
         b_bvh = bigmesh_builder(res)
@@ -316,8 +321,8 @@ def run_one(config: str, budget: float):
         rps, info = _bench_render(
             b_bvh, {"type": "pathtracing", "bounces": 2},
             min(budget, 60), spp_target=4)
-        return "lbvh_bigmesh", {"rays_per_sec": round(rps, 1),
-                                "effective_accel": effective, **info}
+        return "bvh_demoted_bigmesh", {"rays_per_sec": round(rps, 1),
+                                       "effective_accel": effective, **info}
     if config == "glossy":
         from scenes import glossy_cornell_builder
         b = glossy_cornell_builder()
@@ -342,7 +347,8 @@ def run_one(config: str, budget: float):
 
 _KEY_BY_CONFIG = {"cornell": "cornell_fwd_bwd", "bigmesh": "bigmesh_203k",
                   "glossy": "glossy_cornell", "caustic": "caustic_grad",
-                  "volume": "volume_emissive", "lbvh": "lbvh_bigmesh"}
+                  "volume": "volume_emissive",
+                  "bvh_demoted": "bvh_demoted_bigmesh"}
 
 
 def main():

@@ -17,9 +17,13 @@ Strategy set (all per-lane, all vectorized):
                (area-measure NEE; the shared light sample);
   - (s>=2, t)  eye vertex z_t connected to light subpath vertex y_{s-1}.
   - t = 0/1 strategies (light tracing splatted through the camera,
-    reference connectPathE) are NOT generated; MIS denominators therefore
-    exclude them, which keeps the estimator unbiased (weights still sum to
-    one over the implemented strategies).
+    reference connectPathE) ARE generated: light-subpath vertices are
+    projected through cameras.project() and returned as splat
+    (pixel, rgb) pairs accumulated by film.add_splats. Currently gated
+    to pinhole perspective cameras (kind=="perspective", aperture<=0);
+    on other cameras the strategy family is skipped and the MIS
+    denominators exclude it, which keeps the estimator unbiased
+    (weights still sum to one over the generated strategies).
 
 Light subpaths start only from positional lights (point/spot/ies/area/
 sphere/mesh). Directional/sun lights are handled by classic NEE at every
@@ -293,8 +297,11 @@ def _walk_eye(scene, cfg, o, d, valid, pid, sid, max_t: int):
     first_sp = None
 
     for depth in range(max_t):
-        hit = I.closest_hit(scene, o, d, scene.ray_min_dist, 1e30,
-                            exclude_prim=prev_prim)
+        if depth == 0:
+            hit = I.camera_hit(scene, o, d, scene.ray_min_dist, 1e30)
+        else:
+            hit = I.closest_hit(scene, o, d, scene.ray_min_dist, 1e30,
+                                exclude_prim=prev_prim)
         hit = hit.replace(valid=hit.valid & alive)
         sp = S.make_surface(scene, hit, o, d)
         sp = bump_normal(scene, sp)
@@ -358,12 +365,17 @@ def _walk_eye(scene, cfg, o, d, valid, pid, sid, max_t: int):
     return verts, escapes, alpha, first_hit_t, first_sp
 
 
-def _walk_light(scene, cfg, pid, sid, max_s: int):
+def _walk_light(scene, cfg, pid, sid, max_s: int, lane_valid=None):
     """Generate light subpath: origin y_0 + surface vertices y_1..; returns
-    (_LightOrigin, list of _Vertex for y_1..)."""
+    (_LightOrigin, list of _Vertex for y_1..). `lane_valid` masks lanes that
+    must not trace a light subpath (padding lanes of a compacted adaptive
+    pass — they duplicate another lane's pixel_id and would otherwise splat
+    correlated duplicates into the film)."""
     nl = max(scene.lights.num_lights, 1)
     org = _emit_origin(scene, pid, sid)
     n = org.p.shape[0]
+    if lane_valid is not None:
+        org.valid = org.valid & lane_valid
     org.pdf_rev = jnp.zeros((n,), jnp.float32)
     pick = 1.0 / nl
     le0 = _emit_radiance_toward(scene, org, org.d0)
@@ -542,7 +554,8 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
     eye, escapes, alpha, first_hit_t, first_sp = _walk_eye(
         scene, cfg, ray_o, ray_d, ray_valid, pixel_id, sample_idx, max_t)
     if lt.num_lights > 0:
-        org, lverts = _walk_light(scene, cfg, pixel_id, sample_idx, max_s)
+        org, lverts = _walk_light(scene, cfg, pixel_id, sample_idx, max_s,
+                                  lane_valid=ray_valid)
     else:
         org, lverts = None, []
 

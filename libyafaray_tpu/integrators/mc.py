@@ -274,9 +274,15 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
         # them into zero-candidate tiles (accel/blocks.py sort key), so
         # terminated paths cost ~nothing in traversal instead of tracing
         # a stale full-range ray every remaining bounce
-        hit = I.closest_hit(scene, o, d, scene.ray_min_dist,
-                            jnp.where(alive, 1e30, -1.0),
-                            exclude_prim=prev_prim, time=ray_time)
+        if depth == 0:
+            # primary segment: honors camera-invisible area lights
+            # (visibility='invisible', the reference arealight semantics)
+            hit = I.camera_hit(scene, o, d, scene.ray_min_dist,
+                               jnp.where(alive, 1e30, -1.0), time=ray_time)
+        else:
+            hit = I.closest_hit(scene, o, d, scene.ray_min_dist,
+                                jnp.where(alive, 1e30, -1.0),
+                                exclude_prim=prev_prim, time=ray_time)
         hit = hit.replace(valid=hit.valid & alive)
         scat = jnp.zeros((n,), bool)
         if track_medium:
@@ -760,7 +766,7 @@ def _auto_index_color(idx) -> Array:
 
 def _integrate_debug(scene, cfg, ray_o, ray_d, ray_valid):
     """DebugIntegrator (integrator_debug.cc): render normals as color."""
-    hit = I.closest_hit(scene, ray_o, ray_d, scene.ray_min_dist, 1e30)
+    hit = I.camera_hit(scene, ray_o, ray_d, scene.ray_min_dist, 1e30)
     hit = hit.replace(valid=hit.valid & ray_valid)
     sp = S.make_surface(scene, hit, ray_o, ray_d)
     rgb = jnp.where(sp.valid[..., None], sp.n * 0.5 + 0.5, 0.0)

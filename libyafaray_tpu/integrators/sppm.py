@@ -74,8 +74,11 @@ def _eye_walk(scene: SceneData, cfg: IntegratorConfig, o, d, valid,
     num_lights = scene.lights.num_lights
 
     for depth in range(cfg.bounces + 1):
-        hit = I.closest_hit(scene, o, d, scene.ray_min_dist, 1e30,
-                            exclude_prim=prev_prim)
+        if depth == 0:
+            hit = I.camera_hit(scene, o, d, scene.ray_min_dist, 1e30)
+        else:
+            hit = I.closest_hit(scene, o, d, scene.ray_min_dist, 1e30,
+                                exclude_prim=prev_prim)
         hit = hit.replace(valid=hit.valid & alive)
         sp = S.make_surface(scene, hit, o, d)
         wo = -d

@@ -324,6 +324,43 @@ def closest_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
                                       exclude_prim, time=time))
 
 
+def camera_hit(scene: SceneData, o: Array, d: Array, t_min, t_max,
+               time: Optional[Array] = None) -> Hit:
+    """First intersection of CAMERA (primary) rays.
+
+    Identical to closest_hit unless the scene contains primitives flagged
+    invisible-to-camera (face_vis bit 4): area lights created with
+    visibility='invisible', matching the reference where an `arealight` is
+    never a scene primitive — camera rays pass straight through it and its
+    radiance enters only via the MIS BSDF-sample completion
+    (src/integrator/surface/integrator_montecarlo.cc:323 light->intersect;
+    camera rays only query the accelerator, integrator_path_tracer.cc:128).
+    Our design bakes light quads into geometry so BOUNCE rays hit them (the
+    same MIS role); this helper hides them from the primary segment only.
+
+    Implementation: trace normally, then re-trace past the hit for lanes
+    whose first hit is camera-invisible (masked: non-affected lanes get an
+    empty t-range and cost nothing in the block accelerator). One step
+    suffices — a ray crosses a lamp's plane once, and stacked invisible
+    lamps are out of scope."""
+    hit = closest_hit(scene, o, d, t_min, t_max, time=time)
+    if not scene.has_cam_invisible:
+        return hit
+    nf = scene.geom.num_faces
+    is_tri = hit.prim < nf
+    fv = scene.geom.face_vis[jnp.minimum(hit.prim, max(nf - 1, 0))]
+    inv = hit.valid & is_tri & ((fv & 4) != 0)
+    excl = jnp.where(inv, hit.prim, -1)
+    hit2 = closest_hit(scene, o, d, t_min,
+                       jnp.where(inv, jnp.broadcast_to(
+                           jnp.asarray(t_max, jnp.float32), inv.shape), -1.0),
+                       exclude_prim=excl, time=time)
+    return Hit(valid=jnp.where(inv, hit2.valid, hit.valid),
+               t=jnp.where(inv, hit2.t, hit.t),
+               prim=jnp.where(inv, hit2.prim, hit.prim),
+               uv=jnp.where(inv[..., None], hit2.uv, hit.uv))
+
+
 def lbvh_closest(scene, o, d, t_min, t_max, exclude_prim, time=None):
     from ..accel import lbvh
     return lbvh.traverse_closest(scene, o, d, t_min, t_max, exclude_prim,

@@ -347,6 +347,8 @@ class SceneBuilder:
                 "shadow_bias", 5e-4)),
             ray_min_dist=jnp.float32(self.render_params.get_float(
                 "ray_min_dist", 5e-5)),
+            has_cam_invisible=bool((geom_np["face_vis"] & 4).any())
+            if len(geom_np.get("face_vis", ())) else False,
         )
         if camera is not None:
             # one-pixel angular footprint for primary-hit mipmap/EWA LOD
@@ -915,7 +917,16 @@ class SceneBuilder:
                 # col*power
                 cols["color"][i] = col * power
                 cols["samples"][i] = pm.get_int("samples", 4)
-                extra_faces.append((i, corner, p1, p2, col * power))
+                # visibility='invisible' reproduces the reference's
+                # arealight semantics exactly: the lamp is not a camera-
+                # visible surface (reference lights are never scene
+                # primitives; integrator_path_tracer.cc:128 only queries
+                # the accelerator) but BSDF/bounce rays still hit the
+                # baked quad for MIS (≙ light->intersect,
+                # integrator_montecarlo.cc:323). Default 'normal' keeps
+                # the lamp visible like a meshlight.
+                cam_vis = pm.get_string("visibility", "normal") != "invisible"
+                extra_faces.append((i, corner, p1, p2, col * power, cam_vis))
             elif ty == "spherelight":
                 cols["light_type"][i] = LIGHT_SPHERE
                 c = pm.get_vector("from")
@@ -1003,8 +1014,8 @@ class SceneBuilder:
         (MIS); they don't cast shadows on themselves via exclude_prim."""
         v_off = len(g["vertices"])
         f_off = len(g["faces"])
-        new_v, new_f, new_light = [], [], []
-        for li, corner, p1, p2, rad in extra:
+        new_v, new_f, new_light, new_vis = [], [], [], []
+        for li, corner, p1, p2, rad, cam_vis in extra:
             c = np.asarray(corner, np.float32)
             e1 = np.asarray(p1, np.float32) - c
             e2 = np.asarray(p2, np.float32) - c
@@ -1012,6 +1023,10 @@ class SceneBuilder:
             new_v += [c, c + e1, c + e1 + e2, c + e2]
             new_f += [(base, base + 1, base + 2), (base, base + 2, base + 3)]
             new_light += [li, li]
+            # bit 1: hit by bounce rays (MIS); bit 4: invisible-to-camera
+            # flag checked by ops.intersect.camera_hit; never bit 2 (light
+            # quads cast no shadows onto the scene)
+            new_vis += [1 if cam_vis else 5] * 2
         nv = np.asarray(new_v, np.float32)
         nf = np.asarray(new_f, np.int32)
         cnt = len(nf)
@@ -1026,8 +1041,10 @@ class SceneBuilder:
         g["face_mat"] = np.concatenate([g["face_mat"], np.zeros((cnt,), np.int32)])
         g["face_obj"] = np.concatenate([g["face_obj"], np.full((cnt,), -1, np.int32)])
         g["face_smooth"] = np.concatenate([g["face_smooth"], np.zeros((cnt,), bool)])
-        # light quads: visible to camera rays, no shadow casting onto scene
-        g["face_vis"] = np.concatenate([g["face_vis"], np.full((cnt,), 1, np.int32)])
+        # light quads: no shadow casting onto scene; camera visibility per
+        # the light's `visibility` param (see new_vis above)
+        g["face_vis"] = np.concatenate([g["face_vis"],
+                                        np.asarray(new_vis, np.int32)])
         g["face_light"] = np.concatenate([g["face_light"],
                                           np.asarray(new_light, np.int32)])
         return g

@@ -474,6 +474,11 @@ class SceneData:
     photons: Optional[PhotonData] = None
     # which accelerator the intersect ops use: "blocks" | "bvh" | "brute"
     accel_kind: str = struct.field(pytree_node=False, default="brute")
+    # any primitive flagged invisible-to-camera (face_vis bit 4 — area
+    # lights with visibility='invisible', the reference's arealight
+    # semantics where lights are never scene primitives)? Static so
+    # ordinary scenes trace no extra code (ops.intersect.camera_hit).
+    has_cam_invisible: bool = struct.field(pytree_node=False, default=False)
     shadow_bias: Array = None   # f32 scalar
     ray_min_dist: Array = None  # f32 scalar
     # per-view fixed spectral wavelength in [0,1]; 0 = sample per path

@@ -3,9 +3,12 @@
 Replaces src/texture/texture_image.cc (597 LoC): nearest / bilinear /
 bicubic (Catmull-Rom) / trilinear-mipmap sampling with repeat / extend /
 clip / checker wrap modes, crop windows and mirror tiling. EWA anisotropic
-falls back to trilinear at the max-axis LOD (the reference's quality knob
-`mipmap_ewa`, texture_image.h:75-100) — a dedicated Pallas EWA kernel is a
-later optimization.
+(the reference's quality knob `mipmap_ewa`, texture_image.h:75-100) is
+implemented as an 8-tap Gaussian quadrature of trilinear probes placed
+along the exact ellipse major axis (see _sample_ewa below) — the same
+ellipse as the reference's per-texel enumeration (texture_image.cc:345-443)
+integrated with fixed quadrature instead of texel loops, which keeps the
+wavefront access pattern (bulk gathers) TPU-friendly.
 
 All gathers are bulk row gathers from the pool — the TPU-friendly access
 pattern (one dynamic-gather per tap for the whole wavefront).

@@ -69,11 +69,17 @@ def test_two_process_render_farm(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            # generous budget, but a LOUD failure on expiry: a silent skip
+            # here let the farm path drop out of CI unnoticed (VERDICT r4
+            # weak #8). Coordination on this host takes ~seconds; 480s is
+            # two orders of magnitude of headroom.
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.skip("jax.distributed coordination timed out on this host")
+            pytest.fail("jax.distributed coordination timed out (480s): "
+                        "the multi-process farm path is broken or this "
+                        "host cannot run it — investigate, do not skip")
         outs.append(out.decode(errors="replace"))
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
