@@ -48,7 +48,8 @@ SUB = 128          # triangles per dense MT batch inside a block (lanes)
 EPS_DET = 1e-10
 
 
-def _mt_update(tr, cols, carry, vis_col: int, delta=None, motion=None):
+def _mt_update(tr, cols, carry, vis_col: int, delta=None, motion=None,
+               step_ok=None):
     """Dense MT of a (16, SUB) triangle slab against the tile; returns
     updated (best_t, best_id, best_u, best_v), each f32[RAY_TILE, 1].
 
@@ -99,6 +100,9 @@ def _mt_update(tr, cols, carry, vis_col: int, delta=None, motion=None):
     hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
            & (t > t_min) & (t <= best_t)
            & (vis > 0.5) & (pid != excl))
+    if step_ok is not None:
+        # unrolled candidate steps past the list end contribute nothing
+        hit = hit & step_ok
     t = jnp.where(hit, t, jnp.inf)
     tc = jnp.min(t, axis=1, keepdims=True)            # [N, 1]
     better = tc < best_t
@@ -253,6 +257,13 @@ def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
 # prepass. Env override for experiments.
 SUPER = int(_os.environ.get("YAF_SUPER", "1"))
 
+# candidate blocks intersected per while iteration in the VMEM-resident
+# kernel. >1 amortizes per-iteration scalar/control overhead (SMEM
+# candidate reads, the early-exit max-reduce, loop bookkeeping) over more
+# dense MT work, at the cost of early-exit granularity. Env override for
+# experiments; default from the r5 on-chip sweep.
+UNROLL = int(_os.environ.get("YAF_TILE_UNROLL", "4"))
+
 
 def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
                           t_ref, id_ref, u_ref, v_ref, *,
@@ -295,9 +306,11 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
         else:                            # linear, 2 keyframes
             mw = (1.0 - tt, tt, tt)
 
-    def body(st):
-        best_t, best_id, best_u, best_v, c = st
-        jv = cand_ref[0, 0, jnp.minimum(c, c_pad - 1)]
+    def one_step(ci, carry, guarded: bool):
+        """Intersect candidate `ci`'s block against the tile. `guarded`
+        steps may run past the candidate list (loop unrolling): their
+        hits are masked out via step_ok instead of branching."""
+        jv = cand_ref[0, 0, jnp.minimum(ci, c_pad - 1)]
         jp = phys(jv)
         delta = None
         if inst_refs is None:
@@ -319,6 +332,7 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
                 return oq + dq + (tmn, exc)
 
             cols = jax.lax.cond(mi > 0, xform, lambda: base_cols)
+        step_ok = (ci < cnt) if guarded else None
 
         def sub_body(k, carry):
             tr = tab_ref[jp, :, pl.ds(k * SUB, SUB)]
@@ -329,15 +343,25 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
                        if motion_refs[1] is not None else None)
                 motion = (tr1, tr2) + mw
             return _mt_update(tr, cols, carry, vis_col, delta=delta,
-                              motion=motion)
+                              motion=motion, step_ok=step_ok)
 
-        carry = (best_t, best_id, best_u, best_v)
         if n_sub == 1:
-            carry = sub_body(0, carry)
-        else:
-            carry = jax.lax.fori_loop(0, n_sub, sub_body, carry)
+            return sub_body(0, carry)
+        return jax.lax.fori_loop(0, n_sub, sub_body, carry)
+
+    def body(st):
+        best_t, best_id, best_u, best_v, c = st
+        carry = (best_t, best_id, best_u, best_v)
+        # UNROLL candidates per while iteration: amortizes the per-
+        # iteration scalar/control overhead (SMEM reads, early-exit
+        # reduce, loop bookkeeping) over more VPU work. Steps past the
+        # list end are mask-gated, and early exit coarsens to UNROLL-
+        # candidate granularity — measured net win on v5e (r5 sweep).
+        carry = one_step(c, carry, guarded=False)
+        for k in range(1, UNROLL):
+            carry = one_step(c + k, carry, guarded=True)
         best_t, best_id, best_u, best_v = carry
-        return best_t, best_id, best_u, best_v, c + 1
+        return best_t, best_id, best_u, best_v, c + UNROLL
 
     init = (t_max, jnp.full_like(t_max, -1.0), jnp.zeros_like(t_max),
             jnp.zeros_like(t_max), jnp.int32(0))

@@ -211,6 +211,51 @@ def raster_jacobian(cam: Camera, d: Array) -> Array:
             / (jnp.maximum(cam.aspect, 1e-6) * cosc * cosc * cosc))
 
 
+def project_lens(cam: Camera, p: Array, lens_u: Array, lens_v: Array):
+    """Raster position of world point `p` as seen through a SAMPLED thin-
+    lens point — light-tracing splats (BDPT t=0, reference connectPathE)
+    for DOF cameras, lifting the pinhole restriction
+    (integrator_bidirectional.h:57-58 has none).
+
+    The lens point L = origin + aperture * bokeh(lens_u, lens_v) lies in
+    the cam_x/cam_y plane; the ray L->p refocuses through the focal plane
+    at dof_distance (the inverse of shoot_rays' DOF model: all lens rays
+    through a pixel meet at its focus_p), so the raster position is the
+    pinhole projection of F = L + (p-L) * dof_distance/z. With
+    aperture == 0 this degenerates exactly to project(). The splat
+    estimator keeps the pinhole formula (beta * cos_y/d^2 * jac) with L
+    in place of the origin: the uniform-lens pdf 1/A_lens cancels against
+    the lens-area factor of the thin-lens importance W_e, exactly as in
+    Veach-style thin-lens BDPT.
+
+    Returns (px, py, visible, L)."""
+    bu, bv = _sample_bokeh(cam.bokeh_kind, lens_u, lens_v,
+                           cam.bokeh_rotation)
+    lens = (cam.cam_x * bu[..., None]
+            + cam.cam_y * bv[..., None]) * cam.aperture
+    lpt = cam.origin + lens
+    rel = p - lpt
+    z = vec.dot(rel, cam.cam_z)
+    use_dof = (cam.aperture > 0.0) & (cam.dof_distance > 0.0)
+    # focal-plane point (depth exactly dof_distance along cam_z)
+    f_rel = lens + rel * (cam.dof_distance
+                          / jnp.maximum(z, 1e-9))[..., None]
+    x = vec.dot(f_rel, cam.cam_x) / jnp.maximum(cam.dof_distance, 1e-9) \
+        * cam.focal
+    y = -vec.dot(f_rel, cam.cam_y) / jnp.maximum(cam.dof_distance, 1e-9) \
+        * cam.focal
+    pxl = (x + 0.5) * cam.resx
+    pyl = (y / cam.aspect + 0.5) * cam.resy
+    px0, py0, vis0 = project(cam, p)
+    px = jnp.where(use_dof, pxl, px0)
+    py = jnp.where(use_dof, pyl, py0)
+    visl = (z > 0) & (pxl >= 0) & (pxl < cam.resx) \
+        & (pyl >= 0) & (pyl < cam.resy)
+    vis = jnp.where(use_dof, visl, vis0)
+    lpt = jnp.where(use_dof, lpt, jnp.broadcast_to(cam.origin, lpt.shape))
+    return px, py, vis, lpt
+
+
 def project(cam: Camera, p: Array):
     """World point -> (px, py, visible) — reference Camera::screenproject,
     needed by bidirectional/light-tracing connections."""

@@ -18,12 +18,14 @@ Strategy set (all per-lane, all vectorized):
   - (s>=2, t)  eye vertex z_t connected to light subpath vertex y_{s-1}.
   - t = 0/1 strategies (light tracing splatted through the camera,
     reference connectPathE) ARE generated: light-subpath vertices are
-    projected through cameras.project() and returned as splat
-    (pixel, rgb) pairs accumulated by film.add_splats. Currently gated
-    to pinhole perspective cameras (kind=="perspective", aperture<=0);
-    on other cameras the strategy family is skipped and the MIS
-    denominators exclude it, which keeps the estimator unbiased
-    (weights still sum to one over the generated strategies).
+    projected through cameras.project_lens() — pinhole AND thin-lens
+    DOF (a fresh lens sample per lane refocused through the focal
+    plane) — and returned as splat (pixel, rgb) pairs accumulated by
+    film.add_splats. Gated to perspective cameras (like the reference,
+    whose connectPathE calls Camera::project); on other camera kinds
+    the strategy family is skipped and the MIS denominators exclude it,
+    which keeps the estimator unbiased (weights still sum to one over
+    the generated strategies).
 
 Light subpaths start only from positional lights (point/spot/ies/area/
 sphere/mesh). Directional/sun lights are handled by classic NEE at every
@@ -559,15 +561,18 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
     else:
         org, lverts = None, []
 
-    # light-tracing splats (t=0, connectPathE analogue): pinhole
-    # perspective cameras only; DOF lanes are masked out dynamically
+    # light-tracing splats (t=0, connectPathE analogue): perspective
+    # cameras, pinhole AND lens-sampled DOF (project_lens refocuses the
+    # light vertex through a sampled thin-lens point; the reference's
+    # connectPathE has no pinhole restriction either,
+    # integrator_bidirectional.h:57-58)
     import os
     do_splat = (org is not None and scene.camera is not None
                 and scene.camera.kind == "perspective"
                 and os.environ.get("YAF_TPU_BDPT_SPLAT", "1") != "0")
     t0_ok = None
     if do_splat:
-        t0_ok = jnp.broadcast_to(scene.camera.aperture <= 0.0, (n,))
+        t0_ok = jnp.ones((n,), bool)
 
     radiance = jnp.zeros((n, 3), jnp.float32)
 
@@ -731,7 +736,7 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
     #      include/integrator/surface/integrator_bidirectional.h:57-58) ----
     splat_px = splat_py = splat_rgb = None
     if do_splat:
-        from ..cameras import project, raster_jacobian
+        from ..cameras import project_lens, raster_jacobian
         cam = scene.camera
         sp_px, sp_py, sp_rgb = [], [], []
         for s in range(1, max_s + 1):
@@ -745,11 +750,14 @@ def integrate_bidir(scene: SceneData, cfg, ray_o: Array, ray_d: Array,
                 y_p = y.sp.p
                 y_prim = y.sp.prim
                 y_ok = y.valid & y.connectible
-            to_c = cam.origin - y_p
+            # fresh lens sample per (lane, s): the pinhole case degenerates
+            # to the camera origin inside project_lens
+            lu, lv = sampler.rand2(pixel_id, sample_idx, s, 3500)
+            pxs, pys, vis, lpt = project_lens(cam, y_p, lu, lv)
+            to_c = lpt - y_p
             d2 = jnp.maximum(vec.length_sq(to_c), _EPS_PDF)
             dist = jnp.sqrt(d2)
             wi = to_c / dist[..., None]
-            pxs, pys, vis = project(cam, y_p)
             jac = raster_jacobian(cam, -wi)
             if s == 1:
                 cos_y = vec.dot(wi, org.nrm)

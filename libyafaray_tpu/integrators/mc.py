@@ -60,6 +60,10 @@ class IntegratorConfig:
     # single-scatter attenuation-grid cache (param "optimize",
     # integrator_single_scatter.cc:35-108)
     vol_optimize: bool = struct.field(pytree_node=False, default=False)
+    # adaptive marching (param "adaptive", integrator_single_scatter.cc:
+    # 303-334): fine density substeps inside each coarse in-scatter step
+    vol_adaptive: bool = struct.field(pytree_node=False, default=False)
+    vol_substeps: int = struct.field(pytree_node=False, default=8)
     # sky integrator params (SkyIntegrator::factory, integrator_sky.cc:198)
     sky_alpha: float = struct.field(pytree_node=False, default=0.5)
     sky_turbidity: float = struct.field(pytree_node=False, default=3.0)
@@ -72,6 +76,12 @@ class IntegratorConfig:
     # integrator_photon_mapping.cc:806-808; default on like the reference)
     final_gather: bool = struct.field(pytree_node=False, default=True)
     fg_samples: int = struct.field(pytree_node=False, default=16)
+    # secondary gather bounces + near-field cutoff ("fg_bounces" /
+    # "fg_min_pathlen", integrator_photon_mapping.cc:806-810): gather
+    # hits nearer than fg_min_pathlen don't trust the (blurry) radiance
+    # cache — they take a real direct-light estimate and bounce on
+    fg_bounces: int = struct.field(pytree_node=False, default=3)
+    fg_min_pathlen: float = struct.field(pytree_node=False, default=0.0)
     # path tracer caustic modes: "none"|"path"|"photon"|"both"
     # (integrator_path_tracer.cc:325-345)
     caustic_type: str = struct.field(pytree_node=False, default="path")
@@ -112,6 +122,8 @@ def make_integrator(pm: dict) -> IntegratorConfig:
             "single_scatter"),
         vol_steps=pm.get_int("volume_steps", 16),
         vol_optimize=pm.get_bool("optimize", False),
+        vol_adaptive=pm.get_bool("adaptive", False),
+        vol_substeps=pm.get_int("adaptive_substeps", 8),
         sky_alpha=pm.get_float("alpha", 0.5),
         sky_turbidity=pm.get_float("turbidity", 3.0),
         sky_scale=pm.get_float("sigma_t", 0.1),
@@ -122,6 +134,9 @@ def make_integrator(pm: dict) -> IntegratorConfig:
         caustic_type=pm.get_string("caustic_type", "path"),
         final_gather=pm.get_bool("finalGather", True),
         fg_samples=pm.get_int("fg_samples", 16),
+        fg_bounces=pm.get_int("fg_bounces", 3),
+        fg_min_pathlen=pm.get_float(
+            "fg_min_pathlen", pm.get_float("diffuseRadius", 0.05)),
         mask_mat_index=pm.get_int("layer_mask_mat_index", 0),
         mask_obj_index=pm.get_int("layer_mask_obj_index", 0),
         mask_invert=pm.get_bool("layer_mask_invert", False),
@@ -129,25 +144,64 @@ def make_integrator(pm: dict) -> IntegratorConfig:
 
 
 def _final_gather(scene, cfg, sp, wo, pixel_id, sample_idx, depth):
-    """One-bounce final gathering over the precomputed radiance cache
-    (PhotonIntegrator::finalGathering, integrator_photon_mapping.cc:643):
-    cosine-sampled gather rays; at each gather hit the cached outgoing
-    radiance is looked up, giving estimator mean(albedo * L_cache) (the
-    cos/pdf factors cancel for Lambertian gather)."""
+    """Final gathering over the precomputed radiance cache with secondary
+    gather bounces (PhotonIntegrator::finalGathering,
+    integrator_photon_mapping.cc:643-765, params fg_bounces /
+    fg_min_pathlen :806-810): cosine-sampled gather rays; a gather hit
+    FARTHER than fg_min_pathlen looks up the cached outgoing radiance
+    (estimator mean(albedo * L_cache); the cos/pdf factors cancel for
+    Lambertian gather). A hit NEARER than fg_min_pathlen does not trust
+    the blurry cache — it takes a real one-light direct estimate there and
+    bounces diffusely onward (up to fg_bounces), exactly the reference's
+    near-field path-tracing correction. With fg_min_pathlen == 0 (our
+    pre-r5 behavior) every lane terminates at the first hit."""
     from .. import photon as PH
+    n = sp.p.shape[0]
     mp = B.resolve_mp(scene, sp)
     acc = jnp.zeros_like(sp.p)
+    n_bounce = max(int(cfg.fg_bounces), 1) if cfg.fg_min_pathlen > 0 else 1
     for k in range(cfg.fg_samples):
         u1, u2 = sampler.rand2(pixel_id, sample_idx, depth, 9500 + 2 * k)
         d_loc = vec.cosine_sample_hemisphere(u1, u2)
         wi = vec.from_local(d_loc, sp.nu, sp.nv, sp.n)
         o = sp.p + wi * scene.shadow_bias[..., None]
-        hit = I.closest_hit(scene, o, wi, scene.ray_min_dist,
-                            jnp.where(sp.valid, 1e30, -1.0),
-                            exclude_prim=sp.prim)
-        gsp = S.make_surface(scene, hit, o, wi)
-        rad = PH.lookup_radiance(scene.photons.radiance, gsp.p, gsp.n)
-        acc = acc + jnp.where(hit.valid[..., None], rad, 0.0)
+        thr = jnp.ones((n, 3), jnp.float32)
+        alive = sp.valid
+        prim = sp.prim
+        for b in range(n_bounce):
+            hit = I.closest_hit(scene, o, wi, scene.ray_min_dist,
+                                jnp.where(alive, 1e30, -1.0),
+                                exclude_prim=prim)
+            hit = hit.replace(valid=hit.valid & alive)
+            gsp = S.make_surface(scene, hit, o, wi)
+            last = b == n_bounce - 1
+            close = hit.valid & (hit.t < cfg.fg_min_pathlen) & ~last
+            # far (or final-bounce) hits: cache lookup, lane done
+            rad = PH.lookup_radiance(scene.photons.radiance, gsp.p, gsp.n)
+            acc = acc + jnp.where((hit.valid & ~close)[..., None],
+                                  thr * rad, 0.0)
+            if cfg.fg_min_pathlen <= 0 or last:
+                break
+            # near hits: direct light here + diffuse bounce onward
+            ul, u3, u4, _ = jnp.moveaxis(
+                sampler.rand4(pixel_id, sample_idx, depth,
+                              9700 + 8 * k + 2 * b), -1, 0)
+            nl = max(scene.lights.num_lights, 1)
+            li = jnp.clip((ul * nl).astype(jnp.int32), 0, nl - 1)
+            if scene.lights.num_lights > 0:
+                c = common.estimate_one_light(scene, gsp, -wi, li, u3, u4,
+                                              cfg.transparent_shadows)
+                acc = acc + jnp.where(close[..., None],
+                                      thr * c * nl, 0.0)
+            gmp = B.resolve_mp(scene, gsp)
+            u5, u6 = sampler.rand2(pixel_id, sample_idx, depth,
+                                   9800 + 8 * k + 2 * b)
+            d_loc2 = vec.cosine_sample_hemisphere(u5, u6)
+            wi = vec.from_local(d_loc2, gsp.nu, gsp.nv, gsp.n)
+            thr = jnp.where(close[..., None], thr * gmp.diffuse_color, thr)
+            o = gsp.p + wi * scene.shadow_bias[..., None]
+            prim = gsp.prim
+            alive = close
     return mp.diffuse_color * acc / cfg.fg_samples
 
 

@@ -163,22 +163,24 @@ def sppm_pass(scene: SceneData, cfg: IntegratorConfig, state: SppmState,
     pos, dir_, pw, caus, indirect, pvalid, _, _ = PH.shoot_photons(
         scene, photons_per_pass, cfg.pm_bounces, seed=s_idx)
     # indirect deposits only: the eye pass estimates direct light with NEE,
-    # so direct (depth-0) photon deposits would double count
+    # so direct (depth-0) photon deposits would double count.
+    # Grid cell size follows the current largest per-pixel radius (the
+    # hash-grid analogue of the reference rebuilding its HashGrid per
+    # pass, integrator_sppm.cc:485): as radii shrink, cells shrink and
+    # gathers touch fewer photons
+    grid_r = jnp.sqrt(jnp.max(state.radius2))
     pmap = PH.build_photon_map(pos, dir_, pw, pvalid & indirect,
-                               cfg.pm_radius, smin, smax)
+                               grid_r, smin, smax)
 
     sp, wo, thr, direct, settled = _eye_walk(scene, cfg, o, d, valid,
                                              pixel_id, s_idx)
 
-    # gather flux within the per-pixel radius (grid cell size is fixed at
-    # cfg.pm_radius; per-pixel radii shrink below it, so the 27-cell
-    # neighborhood remains a superset of the gather sphere)
-    flux_new, m_new = PH.gather_flux(pmap, sp.p, sp.n)
+    # gather flux within the exact per-pixel radius (r2 test below); the
+    # grid cell tracks max(radius2) and shrinks with it — the 27-cell
+    # neighborhood stays a superset of every pixel's gather sphere
+    flux_new, m_new = PH.gather_flux(pmap, sp.p, sp.n, r2=state.radius2)
     mp = B.resolve_mp(scene, sp)
     f_diff = mp.diffuse_color / jnp.pi
-    # mask by per-pixel radius: re-test distances is folded into gather_flux
-    # via the map radius; the residual r2 < map_r2 bias vanishes as radii
-    # shrink (standard SPPM grid implementations)
     contrib = thr * f_diff * flux_new
     m_new = jnp.where(settled, m_new.astype(jnp.float32), 0.0)
     contrib = jnp.where(settled[..., None], contrib, 0.0)
@@ -198,6 +200,44 @@ def sppm_pass(scene: SceneData, cfg: IntegratorConfig, state: SppmState,
     )
 
 
+def estimate_initial_radius(scene: SceneData, cfg: IntegratorConfig,
+                            height: int, width: int,
+                            photons_per_pass: int, r0: float,
+                            n_search: int = 64) -> Array:
+    """PM_IRE: per-pixel initial radius from local photon density
+    (integrator_sppm.cc:635-649). The reference runs a kNN gather whose
+    in-out radius shrinks to the n_search-th photon's distance; the
+    wavefront equivalent counts photons inside the starting radius r0 and
+    rescales by the 2-D disc density: r^2 = r0^2 * n_search / count
+    (clamped to [r0/32, r0]); pixels that gather nothing keep r0 (the
+    reference skips those too). Uses one throwaway photon map + eye walk,
+    like the reference's "waste two gathers" first pass."""
+    n_pix = height * width
+    yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
+                          indexing="ij")
+    pixel_id = (yy * width + xx).reshape(-1).astype(jnp.uint32)
+    px = xx.reshape(-1).astype(jnp.float32) + 0.5
+    py = yy.reshape(-1).astype(jnp.float32) + 0.5
+    zero = jnp.zeros((n_pix,), jnp.float32)
+    o, d, valid = shoot_rays(scene.camera, px, py, zero, zero)
+    g = scene.geom
+    smin = jnp.min(g.vertices, axis=0)
+    smax = jnp.max(g.vertices, axis=0)
+    pos, dir_, pw, _, indirect, pvalid, _, _ = PH.shoot_photons(
+        scene, photons_per_pass, cfg.pm_bounces, seed=jnp.uint32(0xA11CE))
+    pmap = PH.build_photon_map(pos, dir_, pw, pvalid & indirect,
+                               r0, smin, smax)
+    sp, _, _, _, settled = _eye_walk(scene, cfg, o, d, valid, pixel_id,
+                                     jnp.uint32(0))
+    _, cnt = PH.gather_flux(pmap, sp.p, sp.n)
+    cnt = cnt.astype(jnp.float32)
+    r2 = jnp.where(settled & (cnt > 0),
+                   jnp.clip(r0 * r0 * n_search / jnp.maximum(cnt, 1.0),
+                            (r0 / 32.0) ** 2, r0 * r0),
+                   r0 * r0)
+    return r2
+
+
 def resolve_sppm(state: SppmState, height: int, width: int) -> Array:
     """Final radiance: direct average + flux/(pi r^2 N_emitted)
     (integrator_sppm.cc:256)."""
@@ -211,15 +251,24 @@ def resolve_sppm(state: SppmState, height: int, width: int) -> Array:
 def render_sppm(scene: SceneData, cfg: IntegratorConfig, width: int = None,
                 height: int = None, passes: int = 8,
                 photons_per_pass: int = 50_000,
-                initial_radius: float = 0.05) -> Array:
+                initial_radius: float = 0.05,
+                pm_ire: bool = False) -> Array:
     """SppmIntegrator::render analogue: pass loop on the host, each pass one
-    jitted wavefront. Returns the resolved [H,W,3] image."""
+    jitted wavefront. Returns the resolved [H,W,3] image. With pm_ire the
+    per-pixel initial radius is estimated from local photon density
+    (PM_IRE, integrator_sppm.cc:635-649) instead of the uniform
+    initial_radius."""
     if width is None:
         width = scene.camera.resx
     if height is None:
         height = scene.camera.resy
     cfg = cfg.replace(pm_radius=initial_radius)
     state = init_state(width * height, initial_radius)
+    if pm_ire:
+        r2 = jax.jit(lambda: estimate_initial_radius(
+            scene, cfg, height, width, photons_per_pass,
+            initial_radius))()
+        state = state.replace(radius2=r2)
 
     pass_fn = jax.jit(
         lambda st, pi: sppm_pass(scene, cfg, st, height, width, pi,

@@ -250,17 +250,21 @@ def build_photon_map(pos: Array, dir: Array, power: Array, valid: Array,
                      radius=jnp.asarray(radius, jnp.float32))
 
 
-def gather_flux(pm: PhotonMap, q: Array, n_hemi: Optional[Array] = None
-                ) -> Tuple[Array, Array]:
+def gather_flux(pm: PhotonMap, q: Array, n_hemi: Optional[Array] = None,
+                r2: Optional[Array] = None) -> Tuple[Array, Array]:
     """Sum photon flux within radius of each query point (27-cell gather).
 
     Returns (flux_sum[N,3], count[N]). `n_hemi` (optional surface normal)
-    rejects photons arriving from behind the surface. One bulk gather per
-    neighbor-cell offset — no per-lane tree walks."""
+    rejects photons arriving from behind the surface. `r2` (optional
+    f32[N]) gives a PER-QUERY gather radius^2 (SPPM per-pixel shrinking
+    radii, integrator_sppm.cc:243-249) — must satisfy r2 <= pm.radius^2
+    so the 27-cell neighborhood stays a superset of the gather sphere;
+    default is the map radius. One bulk gather per neighbor-cell offset —
+    no per-lane tree walks."""
     res = GRID_RES
     ci = jnp.clip(((q - pm.grid_min) * pm.inv_cell).astype(jnp.int32),
                   0, res - 1)
-    r2 = pm.radius * pm.radius
+    r2 = (pm.radius * pm.radius if r2 is None else r2[:, None])
     ids_all = []
     scale_all = []
     for dx in (-1, 0, 1):
@@ -286,7 +290,11 @@ def gather_flux(pm: PhotonMap, q: Array, n_hemi: Optional[Array] = None
         in_r = in_r & front
     flux = jnp.sum(jnp.where(in_r[..., None],
                              pm.power[pid] * scale[..., None], 0.0), axis=1)
-    count = jnp.sum(in_r, axis=1)
+    # density-corrected count (f32): cells over MAX_PER_CELL keep a subset
+    # of their photons; `scale` = stored/kept makes both the flux AND the
+    # count unbiased estimates of the uncapped gather (PM_IRE and the SPPM
+    # n-statistics both need the true local density, not the kept subset)
+    count = jnp.sum(jnp.where(in_r, scale, 0.0), axis=1)
     return flux, count
 
 
