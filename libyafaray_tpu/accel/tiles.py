@@ -349,19 +349,26 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
             return sub_body(0, carry)
         return jax.lax.fori_loop(0, n_sub, sub_body, carry)
 
+    # unroll only CLOSEST-HIT queries: any-hit lanes finish on their
+    # first hit, so extra unrolled candidate steps after the exit point
+    # are pure waste — measured 966 ms vs 821 ms full-pass regression
+    # when shadow queries were unrolled too (r5 probe_pass)
+    unroll = 1 if any_hit else UNROLL
+
     def body(st):
         best_t, best_id, best_u, best_v, c = st
         carry = (best_t, best_id, best_u, best_v)
-        # UNROLL candidates per while iteration: amortizes the per-
+        # `unroll` candidates per while iteration: amortizes the per-
         # iteration scalar/control overhead (SMEM reads, early-exit
         # reduce, loop bookkeeping) over more VPU work. Steps past the
-        # list end are mask-gated, and early exit coarsens to UNROLL-
-        # candidate granularity — measured net win on v5e (r5 sweep).
+        # list end are mask-gated, and early exit coarsens to unroll-
+        # candidate granularity — measured net win on v5e for closest
+        # hits (r5 sweep: shadow_env 176->124 ms, bounce1 133->97 ms).
         carry = one_step(c, carry, guarded=False)
-        for k in range(1, UNROLL):
+        for k in range(1, unroll):
             carry = one_step(c + k, carry, guarded=True)
         best_t, best_id, best_u, best_v = carry
-        return best_t, best_id, best_u, best_v, c + UNROLL
+        return best_t, best_id, best_u, best_v, c + unroll
 
     init = (t_max, jnp.full_like(t_max, -1.0), jnp.zeros_like(t_max),
             jnp.zeros_like(t_max), jnp.int32(0))
@@ -375,6 +382,19 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
 # scenes whose block table fits under this budget keep it VMEM-resident
 # for the whole traversal (no per-step DMA); bigger scenes double-buffer
 VMEM_TAB_BUDGET = 96 * 1024 * 1024
+
+
+# two-stage prepass: blocks per tile refined by the exact per-ray pass.
+# The cheap per-tile interval test ranks all C blocks; only the K nearest
+# get the expensive exact [rays x blocks] slab pass (the rest keep their
+# conservative interval keys — correct, just less tightly ordered).
+# DEFAULT OFF (0 = exact pass over all C): measured on the 203k-tri bench
+# scene, K=256 cut the prepass but incoherent shadow tiles overflow K
+# (p99 interval candidates > 500) and their degenerate interval keys blow
+# the kernel time up 2x (the exact r4 "169 vs 31 cand/tile" failure mode)
+# — net pass regression 821 -> 1090 ms. Kept for scenes/ray mixes where
+# the interval count tail is below K.
+CAND_K = int(_os.environ.get("YAF_CAND_K", "0"))
 
 
 def tile_candidates(bmin, bmax, o, d, t_min, t_max):
@@ -397,10 +417,20 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     on the 203k-tri bench scene vs 31 exact.) With SUPER > 1 the exact
     pass runs on superblock AABBs and the interval test refines within,
     trading union tightness for a smaller [N, S] pass.
+
+    With CAND_K > 0 (and SUPER == 1) the exact per-ray pass runs only on
+    each tile's K nearest blocks by the interval lower bound — a 6x+ cut
+    of the dominant [rays x C] slab work on the bench scene (C=1591,
+    K=256). Blocks beyond the K nearest keep their interval keys: a
+    SUPERSET with conservative front-to-back ordering, so correctness is
+    unaffected; only tiles whose interval candidate count exceeds K (p99
+    tail of incoherent wavefronts) do extra in-kernel work.
     """
     c = bmin.shape[0]
     n = o.shape[0]
     t = n // RAY_TILE
+    if SUPER == 1 and 0 < CAND_K < c:
+        return _tile_candidates_topk(bmin, bmax, o, d, t_min, t_max)
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                           jnp.where(d < 0, -1e-12, 1e-12), d)
     ot = o.reshape(t, RAY_TILE, 3)
@@ -485,6 +515,99 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     ent, cand = jax.lax.sort(
         (key, jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (t, c))),
         dimension=1, num_keys=1)
+    count = jnp.sum(overlap, axis=1, dtype=jnp.int32).reshape(t, 1)
+    c_pad = -(-c // 128) * 128
+    if c_pad != c:
+        ent = jnp.concatenate(
+            [ent, jnp.full((t, c_pad - c), jnp.inf, jnp.float32)], axis=1)
+        cand = jnp.concatenate(
+            [cand, jnp.zeros((t, c_pad - c), jnp.int32)], axis=1)
+    return cand, ent, count
+
+
+def _tile_candidates_topk(bmin, bmax, o, d, t_min, t_max):
+    """Two-stage candidate pass (see tile_candidates docstring): per-tile
+    interval slab over all C blocks -> exact per-ray slab on each tile's
+    K nearest -> exact keys scattered back over the interval keys."""
+    c = bmin.shape[0]
+    n = o.shape[0]
+    t = n // RAY_TILE
+    k = CAND_K
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d < 0, -1e-12, 1e-12), d)
+    ot = o.reshape(t, RAY_TILE, 3)
+    it_ = inv.reshape(t, RAY_TILE, 3)
+    t0t = t_min.reshape(t, RAY_TILE)
+    t1t = t_max.reshape(t, RAY_TILE)
+    tmin_lo = jnp.min(t0t, 1)
+    tmax_hi = jnp.max(t1t, 1)
+
+    # ---- stage 1: interval slab test, all C blocks (cheap [T, C]) ----
+    olo, ohi = jnp.min(ot, 1), jnp.max(ot, 1)
+    ilo, ihi = jnp.min(it_, 1), jnp.max(it_, 1)
+
+    def ival_mul(p_lo, p_hi):
+        a = p_lo * ilo[:, None]
+        b = p_lo * ihi[:, None]
+        cc = p_hi * ilo[:, None]
+        dd = p_hi * ihi[:, None]
+        return (jnp.minimum(jnp.minimum(a, b), jnp.minimum(cc, dd)),
+                jnp.maximum(jnp.maximum(a, b), jnp.maximum(cc, dd)))
+
+    a_lo, a_hi = ival_mul(bmin[None] - ohi[:, None],
+                          bmin[None] - olo[:, None])
+    b_lo, b_hi = ival_mul(bmax[None] - ohi[:, None],
+                          bmax[None] - olo[:, None])
+    near_lo = jnp.minimum(a_lo, b_lo)
+    far_hi = jnp.maximum(a_hi, b_hi)
+    tile_near = jnp.max(near_lo, -1)          # [T, C] entry lower bound
+    tile_far = jnp.min(far_hi, -1)
+    overlap = ((tile_near <= tile_far) & (tile_far >= tmin_lo[:, None])
+               & (tile_near <= tmax_hi[:, None]))
+    key = jnp.where(overlap, jnp.maximum(tile_near, tmin_lo[:, None]),
+                    jnp.inf)
+
+    # ---- stage 2: exact per-ray slab on the K nearest blocks ----
+    iota_c = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (t, c))
+    key_sorted, cand_sorted = jax.lax.sort((key, iota_c), dimension=1,
+                                           num_keys=1)
+    sel = cand_sorted[:, :k]                  # [T, K] nearest block ids
+    bm_k = bmin[sel]                          # [T, K, 3]
+    bx_k = bmax[sel]
+
+    def tile_chunk(args):
+        oc, ic, t0c, t1c, bmc, bxc = args     # [G,R,3] / [G,K,3]
+        ta = (bmc[:, None] - oc[:, :, None]) * ic[:, :, None]
+        tb = (bxc[:, None] - oc[:, :, None]) * ic[:, :, None]
+        tn = jnp.max(jnp.minimum(ta, tb), -1)  # [G, R, K]
+        tf = jnp.min(jnp.maximum(ta, tb), -1)
+        ok = (tn <= tf) & (tf >= t0c[..., None]) & (tn <= t1c[..., None])
+        er = jnp.where(ok, jnp.maximum(tn, t0c[..., None]), jnp.inf)
+        return jnp.min(er, axis=1)             # [G, K] exact tile entry
+
+    g = max(1, min(t, int(64e6 / (RAY_TILE * k * 12))))
+    tpad = -(-t // g) * g
+
+    def padt(x, fill):
+        return x if tpad == t else jnp.concatenate(
+            [x, jnp.full((tpad - t,) + x.shape[1:], fill, x.dtype)])
+    ocs = padt(ot, 0.0).reshape(tpad // g, g, RAY_TILE, 3)
+    ics = padt(it_, 1.0).reshape(tpad // g, g, RAY_TILE, 3)
+    t0s = padt(t0t, 0.0).reshape(tpad // g, g, RAY_TILE)
+    t1s = padt(t1t, -1.0).reshape(tpad // g, g, RAY_TILE)
+    bms = padt(bm_k, jnp.inf).reshape(tpad // g, g, k, 3)
+    bxs = padt(bx_k, -jnp.inf).reshape(tpad // g, g, k, 3)
+    er_k = jax.lax.map(tile_chunk, (ocs, ics, t0s, t1s, bms, bxs))
+    er_k = er_k.reshape(tpad, k)[:t]          # [T, K] exact (inf = miss)
+
+    # exact keys replace the interval keys for the selected blocks (a
+    # refinement: exact >= interval lower bound, and exact-inf REMOVES
+    # false-positive candidates)
+    rows = jnp.arange(t, dtype=jnp.int32)[:, None]
+    key = key.at[rows, sel].set(er_k)
+    overlap = jnp.isfinite(key)
+
+    ent, cand = jax.lax.sort((key, iota_c), dimension=1, num_keys=1)
     count = jnp.sum(overlap, axis=1, dtype=jnp.int32).reshape(t, 1)
     c_pad = -(-c // 128) * 128
     if c_pad != c:

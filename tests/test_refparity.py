@@ -35,7 +35,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from libyafaray_tpu import io as yio, make_integrator, film as F
+from libyafaray_tpu import SceneBuilder, io as yio, make_integrator, film as F
 from libyafaray_tpu.render import render
 from scenes import cornell_builder
 
@@ -99,3 +99,108 @@ def test_cornell_direct_matches_reference_render():
     p99 = float(np.percentile(reld, 99))
     assert p99 < 0.06, f"downsampled p99 relative error {p99:.4f}"
     assert reld.max() < 0.15, f"downsampled max relative error {reld.max():.4f}"
+
+
+def _glossy_builder():
+    """Mirror of tools/refparity/glossy_ref.c: uv-textured floor (RAM
+    image -> texture_mapper node), analytic glossy sphere, white back
+    wall, invisible overhead area light, 3-bounce path tracing."""
+    b = SceneBuilder()
+    i = np.arange(64)[None, :]
+    j = np.arange(64)[:, None]
+    img = np.zeros((64, 64, 3), np.float32)
+    img[..., 0] = 0.25 + 0.25 * (1 + np.sin(0.35 * i))
+    img[..., 1] = 0.25 + 0.25 * (1 + np.sin(0.35 * j))
+    img[..., 2] = 0.5
+    b.create_texture("TexFloor", {"type": "image"}, image=img)
+    b.create_material("floor", {"type": "shinydiffusemat", "color": (1, 1, 1),
+                                "diffuse_shader": "map0"},
+                      node_list=[{"type": "texture_mapper", "name": "map0",
+                                  "texture": "TexFloor", "texco": "uv"}])
+    b.create_material("white", {"type": "shinydiffusemat",
+                                "color": (0.73, 0.73, 0.73)})
+    b.create_material("gloss", {"type": "glossy", "color": (0.8, 0.8, 0.8),
+                                "diffuse_color": (0.3, 0.25, 0.2),
+                                "glossy_reflect": 0.7, "diffuse_reflect": 1.0,
+                                "exponent": 25.0, "as_diffuse": False})
+    b.create_object("floorobj")
+    b.set_current_material("floor")
+    a0 = b.add_vertex(0, 0, 0)
+    a1 = b.add_vertex(1, 0, 0)
+    a2 = b.add_vertex(1, 1, 0)
+    a3 = b.add_vertex(0, 1, 0)
+    u0 = b.add_uv(0, 0)
+    u1 = b.add_uv(1, 0)
+    u2 = b.add_uv(1, 1)
+    u3 = b.add_uv(0, 1)
+    b.add_triangle(a0, a1, a2, (u0, u1, u2))
+    b.add_triangle(a0, a2, a3, (u0, u2, u3))
+    b.create_object("back")
+    b.set_current_material("white")
+    c0 = b.add_vertex(0, 1, 0)
+    c1 = b.add_vertex(1, 1, 0)
+    c2 = b.add_vertex(1, 1, 1)
+    c3 = b.add_vertex(0, 1, 1)
+    b.add_quad(c0, c1, c2, c3)
+    b.create_object("ball", {"type": "sphere", "center": (0.5, 0.5, 0.3),
+                             "radius": 0.25})
+    b.set_current_material("gloss")
+    b.create_light("lamp", {"type": "arealight", "corner": (0.3, 0.3, 1.2),
+                            "point1": (0.3, 0.7, 1.2), "point2": (0.7, 0.3, 1.2),
+                            "color": (1.0, 0.95, 0.9), "power": 6.0,
+                            "samples": 4, "visibility": "invisible"})
+    b.create_background({"type": "constant", "color": (0, 0, 0)})
+    b.create_camera("cam", {"type": "perspective", "from": (0.5, -0.9, 0.55),
+                            "to": (0.5, 0.5, 0.3), "up": (0.5, -0.9, 1.55),
+                            "resx": 128, "resy": 128, "fov": 50.0})
+    return b
+
+
+@pytest.mark.refparity
+@pytest.mark.timeout(900)
+def test_glossy_textured_matches_reference_render():
+    """Textured/glossy scene vs the reference renderer's own output
+    (VERDICT r4 next-step #1, second scene): covers the RAM-image ->
+    texture_mapper(uv) shader pipeline, the glossy BSDF, the analytic
+    sphere primitive and the multi-bounce path-tracing estimator.
+
+    Golden: tools/refparity/glossy_ref.c at 128x128, 512 spp (note the
+    client must pass "width"/"height" to the image factory — the
+    reference's own test00.c passes "tex_width"/"tex_height", which
+    Image::factory ignores, silently producing a black texture).
+
+    Tolerances per region (the pi fold applies globally; measured at 64
+    spp: wall 1.013, floor 1.005, sphere 0.933):
+    - back wall and textured floor region means within 5%: direct+GI
+      diffuse transport and the full texture pipeline (uv mapping, texel
+      order, bilinear fetch) — a flipped axis or wrong texel order moves
+      the floor ratio by >20%;
+    - sphere region mean within 12%: the reference's Blinn microfacet
+      normalization ((e+1) cos^e without the 1/2pi, blinnD
+      material_utils_microfacet.h:89-91, folded against its asDivisor)
+      differs from our quadrature-pinned energy-normalized lobe by a few
+      percent at exponent 25 — documented convention gap, bounded here;
+    - global scale within 8%.
+    """
+    ref = np.asarray(
+        yio.load_hdr(os.path.join(GOLDEN, "glossy_ref_128.hdr")))[..., :3]
+    scene = _glossy_builder().compile("cam")
+    cfg = make_integrator({"type": "pathtracing", "bounces": 3,
+                           "russian_roulette_min_bounces": 10})
+    film = render(scene, cfg, 128, 128, spp=64)
+    img = np.asarray(F.resolve(film, "combined"))[..., :3] * np.pi
+    assert np.isfinite(img).all()
+    scale = img.mean() / ref.mean()
+    assert abs(scale - 1.0) < 0.08, f"global radiance scale off: {scale}"
+    regions = {"backwall": np.s_[10:40], "floor": np.s_[95:125],
+               "sphere": np.s_[58:82, 40:88]}
+    tol = {"backwall": 0.05, "floor": 0.05, "sphere": 0.12}
+    for name, sl in regions.items():
+        ratio = img[sl].mean() / ref[sl].mean()
+        assert abs(ratio - 1.0) < tol[name], f"{name} ratio {ratio:.3f}"
+    # texture pattern parity: the floor's horizontal color variation must
+    # correlate strongly with the reference's (catches flipped/shifted uv)
+    fo = img[100:120, :, 0].mean(0)
+    fr = ref[100:120, :, 0].mean(0)
+    cc = np.corrcoef(fo, fr)[0, 1]
+    assert cc > 0.98, f"floor texture profile correlation {cc:.3f}"
