@@ -255,6 +255,22 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
     # warmup/compile
     film = _render_pass_jit(scene, cfg, film, jnp.uint32(0), None)
     film.weights.block_until_ready()
+    # XLA cost model of the PRODUCTION pass (blocks+tiles path): analytic
+    # flops + bytes for the MFU/roofline line (VERDICT r4 next-step #3).
+    # NOTE: the Pallas tiles kernel contributes its declared CostEstimate
+    # (accel/tiles.py cost_estimate), which assumes every candidate step
+    # runs — an upper bound on its true dynamic flops.
+    pass_cost = None
+    if profile:
+        try:
+            ca = _render_pass_jit.lower(scene, cfg, film, jnp.uint32(0),
+                                        None).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            pass_cost = (float(ca.get("flops", 0.0)),
+                         float(ca.get("bytes accessed", 0.0)))
+        except Exception:
+            pass
     # airtight timing: block after EVERY pass (a queued-but-unfinished
     # dispatch once produced a wildly flattering number when a
     # block_until_ready returned early; per-pass blocking costs <1% at
@@ -270,6 +286,27 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
             break
     dt = time.time() - t0
     extras = {"res": f"{w}x{h}", "passes": passes}
+    if pass_cost is not None and passes > 0:
+        flops, bytes_acc = pass_cost
+        per_pass_s = dt / passes
+        achieved = flops / per_pass_s
+        bw = bytes_acc / per_pass_s
+        # v5e: ~197 TFLOP/s bf16 MXU peak, ~4 TFLOP/s f32 VPU estimate,
+        # ~819 GB/s HBM BW. Verdict: whichever fraction is higher is the
+        # binding roof for this op mix.
+        mfu_vpu = achieved / 4e12
+        hbm_frac = bw / 819e9
+        extras["pass_flops"] = round(flops / 1e9, 2)          # GFLOP
+        extras["pass_bytes_accessed"] = round(bytes_acc / 1e9, 3)  # GB
+        extras["achieved_tflops"] = round(achieved / 1e12, 3)
+        extras["mfu_vs_f32_vpu_peak_est"] = round(mfu_vpu, 4)
+        extras["mfu_vs_bf16_mxu_peak"] = round(achieved / 197e12, 5)
+        extras["hbm_bw_frac"] = round(hbm_frac, 4)
+        extras["roofline_verdict"] = (
+            "HBM-bandwidth-bound" if hbm_frac > mfu_vpu else
+            "VPU-compute-bound") + (
+            f" (VPU {mfu_vpu:.1%} vs HBM {hbm_frac:.1%} of peak; "
+            "irregular traversal+sort mix — MXU peak not applicable)")
     if profile:
         try:
             import shutil
@@ -280,9 +317,39 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
                 film = _render_pass_jit(scene, cfg, film, jnp.uint32(999),
                                         None)
                 film.weights.block_until_ready()
-            ops = device_op_summary(tdir, top=6)
+            ops = device_op_summary(tdir, top=250)
             extras["top_device_ops_ms"] = [
                 [name[:60], round(ms, 2)] for name, ms, _ in ops[:6]]
+            # per-stage attribution (VERDICT r4 next-step #2): classify
+            # device ops by name. Heuristics documented: 'tiles_traverse'
+            # = the Pallas traversal kernel; 'while.*' = the lax.map loops
+            # of the candidate prepass (tile_candidates); high-count
+            # min/max reduce fusions = the prepass chunk bodies; 'sort' =
+            # the variadic ray sorts; the rest = shading gathers, BSDF,
+            # film scatter and small glue.
+            stages = {"traversal_kernel": 0.0, "candidate_prepass": 0.0,
+                      "ray_sort": 0.0, "shading_film_other": 0.0}
+            pass_total = 0.0
+            for name, ms, cnt in ops:
+                if name.startswith("jit__render_pass"):
+                    pass_total = max(pass_total, ms)
+                    continue
+                if "tiles_traverse" in name:
+                    stages["traversal_kernel"] += ms
+                elif name.startswith("while"):
+                    stages["candidate_prepass"] += ms
+                elif "_reduce_fusion" in name and cnt > 50:
+                    stages["candidate_prepass"] += ms
+                elif name.startswith("cond.") and cnt > 50:
+                    # the prepass chunk bodies run under the dead-chunk
+                    # lax.cond (tile_candidates tile_chunk)
+                    stages["candidate_prepass"] += ms
+                elif "sort" in name:
+                    stages["ray_sort"] += ms
+                else:
+                    stages["shading_film_other"] += ms
+            extras["stage_ms"] = {k: round(v, 1) for k, v in stages.items()}
+            extras["stage_pass_total_ms"] = round(pass_total, 1)
         except Exception as exc:  # profiling must never fail the bench
             extras["profile_error"] = str(exc)[:200]
     return passes * w * h / dt, extras

@@ -123,7 +123,7 @@ def _mt_update(tr, cols, carry, vis_col: int, delta=None, motion=None,
 def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
                  t_ref, id_ref, u_ref, v_ref, buf0, buf1, sem, *,
                  block_rows: int, c_pad: int, vis_col: int, any_hit: bool,
-                 inst_refs=None):
+                 inst_refs=None, cover_order: bool = False):
     """One ray tile through its front-to-back candidate block list.
 
     Double-buffered: buf0/buf1 alternate as DMA destination vs compute
@@ -136,6 +136,7 @@ def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
     physical tab rows; rays are transformed object<-world per block."""
     cnt = count_ref[0, 0, 0]
     t_max = rays_ref[:, 7:8]
+    t_min_c = rays_ref[:, 6:7]
     n_sub = block_rows // SUB
 
     def phys(jv):
@@ -152,15 +153,16 @@ def _tile_kernel(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
     def _():
         dma(buf0, 0, 0).start()
 
-    def live_max(best_t, best_id):
-        if any_hit:
-            return jnp.max(jnp.where(best_id < 0.0, best_t, -jnp.inf))
-        return jnp.max(best_t)
-
     def cond(st):
         best_t, best_id, _, _, c = st
+        if any_hit and cover_order:
+            unhit = (best_id < 0.0) & (t_max >= t_min_c)
+            return (c < cnt) & jnp.any(unhit)
         ent = ent_ref[0, 0, jnp.minimum(c, c_pad - 1)]
-        return (c < cnt) & (ent <= live_max(best_t, best_id))
+        if any_hit:
+            live_max = jnp.max(jnp.where(best_id < 0.0, best_t, -jnp.inf))
+            return (c < cnt) & (ent <= live_max)
+        return (c < cnt) & (ent <= jnp.max(best_t))
 
     def body(st):
         best_t, best_id, best_u, best_v, c = st
@@ -268,7 +270,8 @@ UNROLL = int(_os.environ.get("YAF_TILE_UNROLL", "4"))
 def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
                           t_ref, id_ref, u_ref, v_ref, *,
                           block_rows: int, c_pad: int, vis_col: int,
-                          any_hit: bool, inst_refs=None, motion_refs=None):
+                          any_hit: bool, inst_refs=None, motion_refs=None,
+                          cover_order: bool = False):
     """VMEM-resident variant of _tile_kernel: the WHOLE component-major
     block table lives in VMEM for the kernel's lifetime (fetched once by
     Pallas — the constant index_map makes every grid step reuse it), so a
@@ -277,6 +280,7 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
     fits; larger scenes take the double-buffered DMA kernel."""
     cnt = count_ref[0, 0, 0]
     t_max = rays_ref[:, 7:8]
+    t_min_c = rays_ref[:, 6:7]
     n_sub = block_rows // SUB
 
     def phys(jv):
@@ -284,15 +288,20 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
             return jv
         return inst_refs[0][0, 0, jv]
 
-    def live_max(best_t, best_id):
-        if any_hit:
-            return jnp.max(jnp.where(best_id < 0.0, best_t, -jnp.inf))
-        return jnp.max(best_t)
-
     def cond(st):
         best_t, best_id, _, _, c = st
+        if any_hit and cover_order:
+            # candidates are coverage-ordered (tile_candidates any_hit):
+            # run until every live ray has a hit or the list is exhausted
+            # (each ray's [t_min, t_max] pruning is already encoded in
+            # candidate membership by the exact prepass)
+            unhit = (best_id < 0.0) & (t_max >= t_min_c)
+            return (c < cnt) & jnp.any(unhit)
         ent = ent_ref[0, 0, jnp.minimum(c, c_pad - 1)]
-        return (c < cnt) & (ent <= live_max(best_t, best_id))
+        if any_hit:
+            live_max = jnp.max(jnp.where(best_id < 0.0, best_t, -jnp.inf))
+            return (c < cnt) & (ent <= live_max)
+        return (c < cnt) & (ent <= jnp.max(best_t))
 
     rays = rays_ref[:, :]
     base_cols = (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3],
@@ -397,7 +406,7 @@ VMEM_TAB_BUDGET = 96 * 1024 * 1024
 CAND_K = int(_os.environ.get("YAF_CAND_K", "0"))
 
 
-def tile_candidates(bmin, bmax, o, d, t_min, t_max):
+def tile_candidates(bmin, bmax, o, d, t_min, t_max, any_hit: bool = False):
     """Per-tile conservative candidate block lists.
 
     Rays must already be sorted/coherent and padded to a RAY_TILE
@@ -431,6 +440,7 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     t = n // RAY_TILE
     if SUPER == 1 and 0 < CAND_K < c:
         return _tile_candidates_topk(bmin, bmax, o, d, t_min, t_max)
+    want_cover = any_hit and SUPER == 1
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                           jnp.where(d < 0, -1e-12, 1e-12), d)
     ot = o.reshape(t, RAY_TILE, 3)
@@ -474,15 +484,35 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     sb_max = jnp.max(bx.reshape(s, SUPER, 3), axis=1)
 
     def tile_chunk(args):
-        # exact slab of one chunk of tiles' rays against all superblocks
+        # exact slab of one chunk of tiles' rays against all superblocks.
+        # Dead rays (empty t-range: terminated paths, gated shadow rays)
+        # sort to the END of the wavefront (accel/blocks.py sort key), so
+        # whole trailing chunks are often all-dead — lax.cond skips their
+        # [G, R, S] slab work entirely (on the 203k-tri bench the
+        # depth-2 wavefronts are majority-dead)
         oc, ic, t0c, t1c = args                       # [G, R, 3] etc.
-        ta = (sb_min[None, None] - oc[:, :, None]) * ic[:, :, None]
-        tb = (sb_max[None, None] - oc[:, :, None]) * ic[:, :, None]
-        tn = jnp.max(jnp.minimum(ta, tb), -1)          # [G, R, S]
-        tf = jnp.min(jnp.maximum(ta, tb), -1)
-        ok = (tn <= tf) & (tf >= t0c[..., None]) & (tn <= t1c[..., None])
-        er = jnp.where(ok, jnp.maximum(tn, t0c[..., None]), jnp.inf)
-        return jnp.min(er, axis=1)                     # [G, S] exact entry
+
+        def live(_):
+            ta = (sb_min[None, None] - oc[:, :, None]) * ic[:, :, None]
+            tb = (sb_max[None, None] - oc[:, :, None]) * ic[:, :, None]
+            tn = jnp.max(jnp.minimum(ta, tb), -1)      # [G, R, S]
+            tf = jnp.min(jnp.maximum(ta, tb), -1)
+            ok = ((tn <= tf) & (tf >= t0c[..., None])
+                  & (tn <= t1c[..., None]))
+            er = jnp.where(ok, jnp.maximum(tn, t0c[..., None]), jnp.inf)
+            ent_blk = jnp.min(er, axis=1)              # [G, S] exact entry
+            if want_cover:
+                return ent_blk, jnp.sum(ok, axis=1).astype(jnp.float32)
+            return ent_blk
+
+        def dead(_):
+            g_ = oc.shape[0]
+            ent_blk = jnp.full((g_, s), jnp.inf, jnp.float32)
+            if want_cover:
+                return ent_blk, jnp.zeros((g_, s), jnp.float32)
+            return ent_blk
+
+        return jax.lax.cond(jnp.any(t1c >= t0c), live, dead, None)
 
     # chunk tiles so the [G, R, S, 3] f32 intermediates stay <= ~64 MB
     # (measured on v5e: larger 384 MB chunks ran ~5% SLOWER end-to-end —
@@ -496,7 +526,12 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
     ics = padt(it_, 1.0).reshape(tpad // g, g, RAY_TILE, 3)
     t0s = padt(t_min.reshape(t, RAY_TILE), 0.0).reshape(tpad // g, g, RAY_TILE)
     t1s = padt(t_max.reshape(t, RAY_TILE), -1.0).reshape(tpad // g, g, RAY_TILE)
-    sb_ent = jax.lax.map(tile_chunk, (ocs, ics, t0s, t1s))
+    out = jax.lax.map(tile_chunk, (ocs, ics, t0s, t1s))
+    if want_cover:
+        sb_ent, sb_cover = out
+        sb_cover = sb_cover.reshape(tpad, s)[:t]
+    else:
+        sb_ent = out
     sb_ent = sb_ent.reshape(tpad, s)[:t]               # [T, S] inf = miss
 
     if SUPER > 1:
@@ -511,6 +546,13 @@ def tile_candidates(bmin, bmax, o, d, t_min, t_max):
         overlap = jnp.isfinite(key)
     # ---- end candidate tests ----
 
+    if want_cover:
+        # any-hit queries don't need front-to-back: membership already
+        # encodes each ray's [t_min, t_max] pruning, and termination is
+        # "no unhit live ray remains" (the kernel's any-hit cond), so the
+        # best order is DESCENDING ray coverage. `ent` then carries
+        # -coverage, which the any-hit kernels never read as a distance.
+        key = -sb_cover
     key = jnp.where(overlap, key, jnp.inf)
     ent, cand = jax.lax.sort(
         (key, jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (t, c))),
@@ -654,7 +696,15 @@ def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
         if motion:
             time = jnp.concatenate(
                 [time, jnp.zeros((npad - n,), jnp.float32)])
-    cand, ent, count = tile_candidates(bmin, bmax, o, d, t_min, t_max)
+    # coverage-ordered any-hit candidates: measured slightly NEGATIVE on
+    # the 203k-tri bench scene (646k vs 675k rays/s end-to-end — the
+    # coverage side-reduce in the prepass and the lost ent-based early
+    # stop outweigh the faster lane kills), so OPT-IN for experiments
+    cover_order = (any_hit and SUPER == 1
+                   and _os.environ.get("YAF_COVER_ORDER", "0") == "1"
+                   and not (0 < CAND_K < bmin.shape[0]))
+    cand, ent, count = tile_candidates(bmin, bmax, o, d, t_min, t_max,
+                                       any_hit=cover_order)
     c_pad = cand.shape[1]
     t = npad // RAY_TILE
     n_tabs = 1 + (2 if motion else 0)
@@ -685,7 +735,8 @@ def tiles_traverse(tab, bmin, bmax, o, d, t_min, t_max, exclude, *,
         base_kernel(rays_r, cand_r, ent_r, cnt_r, tab_r,
                     *rest[n_mot + n_inst:],
                     block_rows=block_rows, c_pad=c_pad,
-                    vis_col=vis_col, any_hit=any_hit, **kw)
+                    vis_col=vis_col, any_hit=any_hit,
+                    cover_order=cover_order, **kw)
     vec_spec = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     vec_shape = jax.ShapeDtypeStruct((npad, 1), jnp.float32)

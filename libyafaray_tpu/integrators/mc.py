@@ -434,17 +434,29 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
             if sample_all:
                 nee_iters = []
                 for li_static in range(num_lights):
-                    u1, u2 = sampler.rand2(pixel_id, sample_idx,
-                                           depth, 10 + 2 * li_static)
-                    nee_iters.append((jnp.full((n,), li_static, jnp.int32),
-                                      u1, u2, 1.0))
+                    # the DIRECT-LIGHT driver honors each light's
+                    # requested nSamples (estimateAllDirectLight's
+                    # num_samples loop, integrator_montecarlo.cc:156-230,
+                    # per-sample MIS like the reference); the path tracer
+                    # keeps one NEE sample per bounce (its reference uses
+                    # estimateOneDirectLight)
+                    ns = 1
+                    if direct_only and scene.lights.samples_static:
+                        ns = scene.lights.samples_static[li_static]
+                    for k in range(ns):
+                        u1, u2 = sampler.rand2(
+                            pixel_id, sample_idx, depth,
+                            10 + 2 * li_static + 100 * k)
+                        nee_iters.append(
+                            (jnp.full((n,), li_static, jnp.int32),
+                             u1, u2, 1.0, 1.0 / ns))
             else:
                 ul, u1, u2, _ = jnp.moveaxis(
                     sampler.rand4(pixel_id, sample_idx, depth, 10), -1, 0)
                 li = jnp.clip((ul * num_lights).astype(jnp.int32), 0,
                               num_lights - 1)
-                nee_iters = [(li, u1, u2, 1.0 / num_lights)]
-            for li, u1, u2, pick in nee_iters:
+                nee_iters = [(li, u1, u2, 1.0 / num_lights, 1.0)]
+            for li, u1, u2, pick, wt in nee_iters:
                 res = common.estimate_one_light(
                     scene, sp, wo, li, u1, u2, cfg.transparent_shadows,
                     pick_pdf=pick, time=ray_time,
@@ -460,14 +472,14 @@ def integrate(scene: SceneData, cfg: IntegratorConfig,
                 else:
                     c = res
                 radiance = radiance + jnp.where(alive[..., None],
-                                                throughput * c, 0.0)
+                                                throughput * c * wt, 0.0)
                 if want_si:
                     shadow_acc = shadow_acc + jnp.where(
-                        alive[..., None], c_unsh - c, 0.0)
+                        alive[..., None], (c_unsh - c) * wt, 0.0)
                 if want_fs:
                     for k_ in fam_acc:
                         fam_acc[k_] = fam_acc[k_] + jnp.where(
-                            alive[..., None], throughput * fam[k_], 0.0)
+                            alive[..., None], throughput * fam[k_] * wt, 0.0)
 
         # --- photon-map estimates at diffuse hits (photonmapping mode) ---
         if photon_mode:

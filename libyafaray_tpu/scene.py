@@ -1003,6 +1003,8 @@ class SceneBuilder:
             num_lights=len(specs), bg_light_idx=bg_light_idx,
             present_types=tuple(sorted(
                 {int(t) for t in cols["light_type"][:len(specs)]})),
+            samples_static=tuple(
+                max(1, int(s)) for s in cols["samples"][:len(specs)]),
             ies_pool=(jnp.asarray(np.stack([
                 _ies_grid(p) for p in ies_profiles]).astype(np.float32))
                 if ies_profiles else jnp.zeros((1, 1, 64), jnp.float32)),

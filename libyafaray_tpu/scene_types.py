@@ -277,6 +277,11 @@ class LightTable:
     # background light (importance-sampled env) is flagged by type; its
     # distribution tables live in Background
     bg_light_idx: int = struct.field(pytree_node=False, default=-1)
+    # static copy of per-light `samples` so integrators can unroll the
+    # per-light NEE loops (reference Light::nSamples, honored by
+    # estimateAllDirectLight's num_samples loop,
+    # integrator_montecarlo.cc:156-230); empty = 1 sample per light
+    samples_static: tuple = struct.field(pytree_node=False, default=())
     # trace-time specialization: light_type values present in the scene
     # (empty tuple = unknown -> assume all); sample/pdf math for absent
     # light families is never traced.

@@ -55,9 +55,10 @@ def test_cornell_direct_matches_reference_render():
 
     Golden: tools/refparity/cornell_ref.c at 256x256, 512 spp x 4 light
     samples (2048 area-light samples/pixel, sigma_rel ~1.5%). Ours:
-    96 spp x 1 light sample (sigma_rel ~10% per pixel in penumbrae —
-    our integrator draws one area-light sample per pass; the reference
-    honors its per-light `samples`).
+    96 spp x 1 light sample — geometry-edge noise scales with 1/sqrt(spp)
+    (pixel jitter), so high spp beats few-spp-many-light-samples here;
+    the per-light `samples` handling itself is covered by
+    test_lights.test_per_light_samples_honored_by_direct_lighting.
 
     Tolerances are set by the MC noise of OUR render (the looser side):
     - global scale (ours*pi / ref) within 1%: pins the estimator
@@ -78,6 +79,7 @@ def test_cornell_direct_matches_reference_render():
     # reference arealights are invisible to camera rays (never scene
     # primitives); mirror that so the lamp region compares the ceiling
     b.lights["lamp"]["visibility"] = "invisible"
+    b.lights["lamp"]["samples"] = 1
     b.cameras["cam"]["resx"] = 256
     b.cameras["cam"]["resy"] = 256
     scene = b.compile("cam")
