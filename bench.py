@@ -249,6 +249,13 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
 
     scene = builder.compile("cam")
     cfg = make_integrator(cfg_pm)
+    # same preprocess render() runs: per-light volume attenuation grid
+    # (single-scatter "optimize" mode, integrator_single_scatter.cc:35-108)
+    if (scene.volumes is not None and cfg.vol_kind == "single_scatter"
+            and cfg.vol_optimize and scene.vol_atten is None
+            and scene.lights.num_lights > 0):
+        from libyafaray_tpu.integrators.volume import build_attenuation_grid
+        scene = scene.replace(vol_atten=jax.jit(build_attenuation_grid)(scene))
     w = scene.camera.resx
     h = scene.camera.resy
     film = F.make_film(w, h)
@@ -286,6 +293,17 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
             break
     dt = time.time() - t0
     extras = {"res": f"{w}x{h}", "passes": passes}
+    # sanity guard (r5: a faulted device once returned from
+    # block_until_ready ~instantly and produced a 1.7e9 rays/s reading):
+    # re-execute one pass with a fresh timer and require agreement
+    t1 = time.time()
+    film = _render_pass_jit(scene, cfg, film, jnp.uint32(passes + 1), None)
+    film.weights.block_until_ready()
+    dt_check = time.time() - t1
+    if dt / max(passes, 1) < 0.25 * dt_check:
+        extras["timing_suspect"] = (
+            f"loop {dt/max(passes,1):.4f}s/pass vs check {dt_check:.4f}s")
+        dt = dt_check * passes  # report the conservative number
     if pass_cost is not None and passes > 0:
         flops, bytes_acc = pass_cost
         per_pass_s = dt / passes
@@ -406,9 +424,14 @@ def run_one(config: str, budget: float):
         b = volume_emissive_builder()
         b.cameras["cam"]["resx"] = 512
         b.cameras["cam"]["resy"] = 512
+        # "optimize": the reference's per-light attenuation-grid cache
+        # (integrator_single_scatter.cc:35-108) — the production setting
+        # for repeated renders; the grid build runs once before timing
         rps, info = _bench_render(
-            b, {"type": "pathtracing", "bounces": 3}, budget, spp_target=8)
-        return "volume_emissive", {"rays_per_sec": round(rps, 1), **info}
+            b, {"type": "pathtracing", "bounces": 3, "optimize": True},
+            budget, spp_target=8)
+        return "volume_emissive", {"rays_per_sec": round(rps, 1),
+                                   "vol_optimize": True, **info}
     raise ValueError(f"unknown config {config!r}")
 
 

@@ -264,7 +264,14 @@ SUPER = int(_os.environ.get("YAF_SUPER", "1"))
 # candidate reads, the early-exit max-reduce, loop bookkeeping) over more
 # dense MT work, at the cost of early-exit granularity. Env override for
 # experiments; default from the r5 on-chip sweep.
-UNROLL = int(_os.environ.get("YAF_TILE_UNROLL", "4"))
+# r5 end-to-end sweep on the 203k-tri bench scene (BENCH_r05 stage
+# table): closest-hit 4->6 and any-hit 1->6 unroll cut the traversal
+# stage 354 -> 258 ms (612k -> 892k rays/s with the dead-chunk prepass
+# skip). 8 crashes the remote Mosaic compile; the earlier any-hit=4
+# full-pass regression was confounded with the (now default-off) top-K
+# prepass — re-measured separately, deeper any-hit unroll wins too.
+UNROLL = int(_os.environ.get("YAF_TILE_UNROLL", "6"))
+UNROLL_ANY = int(_os.environ.get("YAF_TILE_UNROLL_ANY", "6"))
 
 
 def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
@@ -358,11 +365,12 @@ def _tile_kernel_resident(rays_ref, cand_ref, ent_ref, count_ref, tab_ref,
             return sub_body(0, carry)
         return jax.lax.fori_loop(0, n_sub, sub_body, carry)
 
-    # unroll only CLOSEST-HIT queries: any-hit lanes finish on their
-    # first hit, so extra unrolled candidate steps after the exit point
-    # are pure waste — measured 966 ms vs 821 ms full-pass regression
-    # when shadow queries were unrolled too (r5 probe_pass)
-    unroll = 1 if any_hit else UNROLL
+    # unroll CLOSEST-HIT queries aggressively; any-hit lanes finish on
+    # their first hit, so unrolled candidate steps after the exit point
+    # are waste — measured 966 ms vs 821 ms full-pass regression at
+    # UNROLL=4 on shadow queries (r5 probe_pass); a separate (default 1)
+    # knob lets any-hit trade one wasted step for half the loop overhead
+    unroll = UNROLL_ANY if any_hit else UNROLL
 
     def body(st):
         best_t, best_id, best_u, best_v, c = st
