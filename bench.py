@@ -424,14 +424,13 @@ def run_one(config: str, budget: float):
         b = volume_emissive_builder()
         b.cameras["cam"]["resx"] = 512
         b.cameras["cam"]["resy"] = 512
-        # "optimize": the reference's per-light attenuation-grid cache
-        # (integrator_single_scatter.cc:35-108) — the production setting
-        # for repeated renders; the grid build runs once before timing
+        # NOT "optimize": for a HOMOGENEOUS volume the analytic sigma
+        # march is cheaper than the attenuation-grid trilinear gathers
+        # (measured 448k vs 414k rays/s); the grid mode pays off for
+        # grid/noise volumes where sigma lookups are themselves gathers
         rps, info = _bench_render(
-            b, {"type": "pathtracing", "bounces": 3, "optimize": True},
-            budget, spp_target=8)
-        return "volume_emissive", {"rays_per_sec": round(rps, 1),
-                                   "vol_optimize": True, **info}
+            b, {"type": "pathtracing", "bounces": 3}, budget, spp_target=8)
+        return "volume_emissive", {"rays_per_sec": round(rps, 1), **info}
     raise ValueError(f"unknown config {config!r}")
 
 
