@@ -324,7 +324,11 @@ def _bench_render(builder, cfg_pm, budget_s: float, spp_target: int = 8,
             "HBM-bandwidth-bound" if hbm_frac > mfu_vpu else
             "VPU-compute-bound") + (
             f" (VPU {mfu_vpu:.1%} vs HBM {hbm_frac:.1%} of peak; "
-            "irregular traversal+sort mix — MXU peak not applicable)")
+            "irregular traversal+sort mix — MXU peak not applicable. "
+            "Bytes/flops are XLA cost-model figures: bytes can OVERCOUNT "
+            "fused intermediates and the Pallas kernel contributes its "
+            "declared static CostEstimate, so both fractions are upper "
+            "bounds on true utilization)")
     if profile:
         try:
             import shutil

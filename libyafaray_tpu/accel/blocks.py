@@ -112,9 +112,12 @@ def build_blocks(geom: Geometry) -> BlockAccel:
                       block_size=b, num_blocks=t["c"])
 
 
-def _tables_for(geom: Geometry, face_ids: Optional[Array], b: int) -> dict:
+def _tables_for(geom: Geometry, face_ids: Optional[Array], b: int,
+                vis_value: Optional[int] = None) -> dict:
     """Morton-sorted block tables for a face subset (None = all physical
-    faces). Prim ids in meta/tab are the GLOBAL physical face ids."""
+    faces). Prim ids in meta/tab are the GLOBAL physical face ids.
+    `vis_value` overrides the gathered per-face visibility (instance
+    tables of an is_base_object base, whose static faces are vis-0)."""
     if face_ids is None:
         faces = geom.faces
         gather_vis = geom.face_vis
@@ -122,7 +125,9 @@ def _tables_for(geom: Geometry, face_ids: Optional[Array], b: int) -> dict:
     else:
         ids = jnp.asarray(face_ids, jnp.int32)
         faces = geom.faces[ids]
-        gather_vis = geom.face_vis[ids]
+        gather_vis = (geom.face_vis[ids] if vis_value is None
+                      else jnp.full((ids.shape[0],), vis_value,
+                                    geom.face_vis.dtype))
     f = faces.shape[0]
     c = (f + b - 1) // b
     v0 = geom.vertices[faces[:, 0]]
@@ -224,11 +229,15 @@ def _build_blocks_instanced(geom: Geometry) -> BlockAccel:
     counts = np.diff(off_np)
     ranges = {}
     phys_at = parts[0]["c"] if parts else 0
+    inst_vis_np = (np.asarray(geom.inst_vis)
+                   if geom.inst_vis is not None else None)
     for kk in range(k_inst):
         key = (int(base_np[kk]), int(counts[kk]))
         if key not in ranges:
             sub = _tables_for(
-                geom, jnp.arange(key[0], key[0] + key[1], dtype=jnp.int32), b)
+                geom, jnp.arange(key[0], key[0] + key[1], dtype=jnp.int32), b,
+                vis_value=(int(inst_vis_np[kk])
+                           if inst_vis_np is not None else None))
             ranges[key] = (phys_at, sub)
             phys_at += sub["c"]
             parts.append(sub)

@@ -75,6 +75,9 @@ class _MeshObject:
     object_index: int = 0
     light_name: Optional[str] = None  # set when a meshlight references it
     is_sphere: bool = False
+    # is_base_object (object_mesh.cc:42): exists only to be instanced —
+    # the un-instanced copy never renders
+    is_base: bool = False
     sphere_center: Optional[np.ndarray] = None
     sphere_radius: float = 1.0
     sphere_mat: int = 0
@@ -160,6 +163,7 @@ class SceneBuilder:
         obj = _MeshObject(name=name, obj_id=len(self.object_order))
         obj.visibility = _VIS_BY_NAME[pm.get_string("visibility", "normal")]
         obj.object_index = pm.get_int("object_index", 0)
+        obj.is_base = pm.get_bool("is_base_object", False)
         if pm.get_string("type", "mesh") == "sphere":
             obj.is_sphere = True
             obj.sphere_center = pm.get_vector("center", (0, 0, 0))
@@ -578,7 +582,8 @@ class SceneBuilder:
                 sph["radius"].append(r)
                 sph["mat"].append(mat)
                 sph["obj"].append(obj.obj_id)
-                sph["vis"].append(_vis_bits(obj.visibility))
+                sph["vis"].append(0 if (matrix is None and obj.is_base)
+                                  else _vis_bits(obj.visibility))
                 return
             if obj.is_curve and obj.vertices:
                 _extrude_curve(obj)
@@ -646,7 +651,13 @@ class SceneBuilder:
             all_fmat.append(fmat)
             all_fobj.append(np.full((len(f),), obj.obj_id, np.int32))
             all_fsmooth.append(np.full((len(f),), smooth_flag, bool))
-            all_fvis.append(np.full((len(f),), _vis_bits(obj.visibility), np.int32))
+            # base objects (reference is_base_object, object_mesh.cc:42)
+            # exist only to be instanced: their STATIC copy is fully
+            # invisible (vis 0); instance copies carry the real bits
+            # (baked copies below, true-instance tables via geom.inst_vis)
+            vis_bits = (0 if (matrix is None and obj.is_base)
+                        else _vis_bits(obj.visibility))
+            all_fvis.append(np.full((len(f),), vis_bits, np.int32))
             v_off += len(v)
             uv_off += len(uv)
             f_count += len(f)
@@ -742,6 +753,11 @@ class SceneBuilder:
                 inst_obj=np.asarray(
                     [self.objects[b_].obj_id for b_, _ in true_inst],
                     np.int32),
+                # instance copies carry the base object's REAL visibility
+                # (the static base faces are vis-0 when is_base_object)
+                inst_vis=np.asarray(
+                    [_vis_bits(self.objects[b_].visibility)
+                     for b_, _ in true_inst], np.int32),
             )
         return geom_np, obj_face_ranges
 

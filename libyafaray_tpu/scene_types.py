@@ -126,6 +126,9 @@ class Geometry:
     inst_face_off: Optional[Array] = None   # i32[K+1] virtual offsets,
                                             # off[0] = F0, cumulative
     inst_obj: Optional[Array] = None        # i32[K] instance object id
+    # visibility bits of each INSTANCE copy (the static faces of an
+    # is_base_object base are vis-0; instances carry the real bits)
+    inst_vis: Optional[Array] = None        # i32[K]
     num_faces: int = struct.field(pytree_node=False, default=0)
     num_spheres: int = struct.field(pytree_node=False, default=0)
     has_motion: bool = struct.field(pytree_node=False, default=False)

@@ -206,3 +206,85 @@ def test_glossy_textured_matches_reference_render():
     fr = ref[100:120, :, 0].mean(0)
     cc = np.corrcoef(fo, fr)[0, 1]
     assert cc > 0.98, f"floor texture profile correlation {cc:.3f}"
+
+
+def _instances_builder():
+    """Mirror of tools/refparity/instances_ref.c: one is_base_object cube,
+    five instances with distinct translation/scale/z-rotation matrices
+    over a floor, point light, direct lighting (the reference's
+    tests/test02 flow)."""
+    b = SceneBuilder()
+    b.create_material("white", {"type": "shinydiffusemat",
+                                "color": (0.7, 0.7, 0.7)})
+    b.create_material("blue", {"type": "shinydiffusemat",
+                               "color": (0.3, 0.4, 0.7)})
+    b.create_object("floor")
+    b.set_current_material("white")
+    ids = [b.add_vertex(*p) for p in [(-4, -4, 0), (4, -4, 0),
+                                      (4, 4, 0), (-4, 4, 0)]]
+    b.add_quad(*ids)
+    b.create_object("cube", {"is_base_object": True})
+    b.set_current_material("blue")
+    p = [b.add_vertex(0.5 if i & 1 else -0.5, 0.5 if i & 2 else -0.5,
+                      0.5 if i & 4 else -0.5) for i in range(8)]
+    for q in [(0, 2, 3, 1), (4, 5, 7, 6), (0, 1, 5, 4),
+              (2, 6, 7, 3), (0, 4, 6, 2), (1, 3, 7, 5)]:
+        b.add_quad(*[p[i] for i in q])
+    xs = [-2.0, -0.9, 0.3, 1.6, 0.1]
+    ys = [-0.6, 0.9, -0.2, 0.6, 2.0]
+    ss = [0.8, 1.2, 0.6, 1.0, 0.9]
+    for k in range(5):
+        s = ss[k]
+        a = 0.5 * k
+        c = np.cos(a) * s
+        sn = np.sin(a) * s
+        m = np.array([[c, -sn, 0, xs[k]], [sn, c, 0, ys[k]],
+                      [0, 0, s, 0.5 * s], [0, 0, 0, 1]], np.float32)
+        b.add_instance("cube", m)
+    b.create_light("lamp", {"type": "pointlight", "from": (1.0, -1.5, 4.0),
+                            "color": (1, 1, 1), "power": 20.0})
+    b.create_background({"type": "constant", "color": (0, 0, 0)})
+    b.create_camera("cam", {"type": "perspective", "from": (0.0, -5.5, 3.5),
+                            "to": (0.0, 0.0, 0.4), "up": (0.0, -5.5, 4.5),
+                            "resx": 160, "resy": 160, "fov": 50.0})
+    return b
+
+
+@pytest.mark.refparity
+@pytest.mark.timeout(900)
+@pytest.mark.parametrize("mode", ["baked", "true"])
+def test_instances_match_reference_render(mode):
+    """Instancing vs the reference renderer (tests/test02 flow): five
+    instances of an is_base_object cube with mixed translation / scale /
+    rotation matrices. Pins the transform conventions (row-major 4x4,
+    translation in column 3), the instanced intersection and shading
+    frame, and is_base_object exclusion (found missing by this test:
+    before r5 the base cube rendered at the origin).
+
+    Both instancing implementations run against the same golden:
+    'baked' duplicates transformed geometry (brute/pallas accel);
+    'true' keeps O(base) memory with per-block ray transforms in the
+    block accelerator. Point-light direct lighting is deterministic, so
+    the only noise is pixel jitter: measured global ratio 1.00003,
+    4x4-downsampled p99 1.7% at 16 spp — tolerances doubled for margin."""
+    ref = np.asarray(
+        yio.load_hdr(os.path.join(GOLDEN, "instances_ref_160.hdr")))[..., :3]
+    b = _instances_builder()
+    if mode == "true":
+        b.set_render_params({"instancing": "true",
+                             "scene_accelerator": "blocks"})
+    scene = b.compile("cam")
+    if mode == "true":
+        assert scene.geom.inst_mat is not None, "true instancing not active"
+    cfg = make_integrator({"type": "directlighting"})
+    film = render(scene, cfg, 160, 160, spp=16)
+    img = np.asarray(F.resolve(film, "combined"))[..., :3] * np.pi
+    assert np.isfinite(img).all()
+    scale = img.mean() / ref.mean()
+    assert abs(scale - 1.0) < 0.01, f"global radiance scale off: {scale}"
+    rd, od = _downsample(ref), _downsample(img)
+    lit = rd.max(-1) > 0.02
+    reld = np.abs(od - rd).max(-1)[lit] / rd.max(-1)[lit]
+    assert reld.mean() < 0.01, f"downsampled mean rel {reld.mean():.4f}"
+    p99 = float(np.percentile(reld, 99))
+    assert p99 < 0.04, f"downsampled p99 {p99:.4f}"
