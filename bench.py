@@ -155,6 +155,15 @@ def bench_cornell_fwd_bwd(budget_s: float):
     r.block_until_ready()
     dt = time.time() - t0
     info = dict(width=width, height=height, bounces=bounces)
+    # timing sanity guard (see _bench_render): one fresh re-measured chunk
+    # must agree with the loop's per-chunk time
+    t1 = time.time()
+    r, a, g = fwd_bwd_chunk(scene, *chunks[0], jnp.uint32(spp + 1))
+    r.block_until_ready()
+    dt_check = (time.time() - t1) * done_chunks
+    if dt < 0.25 * dt_check:
+        info["timing_suspect"] = f"loop {dt:.3f}s vs check {dt_check:.3f}s"
+        dt = dt_check
     if flops_per_chunk:
         # Roofline position: a wavefront path tracer is f32 VPU- and
         # gather/sort-bound, not matmul-bound, so utilization is stated
