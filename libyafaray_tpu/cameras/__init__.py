@@ -183,9 +183,18 @@ def shoot_rays(cam: Camera, px: Array, py: Array, lens_u: Array, lens_v: Array
         return o, vec.normalize(d), valid
 
     if kind == "equirectangular":
-        # reference camera_equirectangular.cc: full 360 x 180 panorama
-        phi = 2.0 * jnp.pi * (-sx)
-        theta = jnp.pi * 0.5 - jnp.pi * (sy / jnp.maximum(cam.aspect, 1e-6))
+        # reference camera_equirectangular.cc shootRay: u = 2px/resx - 1,
+        # v = 2py/resy - 1; phi = pi*u, theta = pi/2*v;
+        # dir = cos(theta)*(cos(phi)*cam_z + sin(phi)*cam_x)
+        #       + sin(theta)*cam_y.
+        # (The pre-r5 version had theta offset by pi/2 — the up pole sat
+        # on the MIDDLE row — and phi mirrored; found by the reference-
+        # render parity comparison, fixed to match exactly.) Note the
+        # reference pipeline feeds shootRay row-flipped py (its
+        # perspective camera tilts UP with py yet renders row 0 at the
+        # top, matching ours) — so theta is negated here: row 0 = up pole.
+        phi = 2.0 * jnp.pi * sx
+        theta = -jnp.pi * (sy / jnp.maximum(cam.aspect, 1e-6))
         ct = jnp.cos(theta)
         d = (cam.cam_z * (ct * jnp.cos(phi))[..., None]
              + cam.cam_x * (ct * jnp.sin(phi))[..., None]

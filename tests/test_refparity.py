@@ -288,3 +288,47 @@ def test_instances_match_reference_render(mode):
     assert reld.mean() < 0.01, f"downsampled mean rel {reld.mean():.4f}"
     p99 = float(np.percentile(reld, 99))
     assert p99 < 0.04, f"downsampled p99 {p99:.4f}"
+
+
+@pytest.mark.refparity
+@pytest.mark.timeout(900)
+@pytest.mark.parametrize("camtype,golden,tol_mean,tol_p99", [
+    ("orthographic", "cornell_ortho_128.hdr", 0.04, 0.18),
+    ("equirectangular", "cornell_equi_128.hdr", 0.03, 0.12),
+])
+def test_alternate_cameras_match_reference_render(camtype, golden,
+                                                  tol_mean, tol_p99):
+    """Orthographic and equirectangular cameras vs the reference binary's
+    own renders of the same Cornell box (tools/refparity/cornell_ref.c
+    camera arg). Pins the ray-generation conventions externally: this
+    comparison FOUND and fixed a real equirectangular bug (theta offset
+    by pi/2 — the up pole sat on the middle row — and mirrored phi;
+    pre-fix mean relative error 96%, post-fix 1.3%). Measured post-fix:
+    ortho scale 0.9990 / mean 1.9% / p99 10.5%; equirect scale 0.9994 /
+    mean 1.3% / p99 6.5% at 24 spp — tolerances set ~2x above."""
+    import libyafaray_tpu.params as P
+    ref = np.asarray(yio.load_hdr(os.path.join(GOLDEN, golden)))[..., :3]
+    b = cornell_builder()
+    b.lights["lamp"]["visibility"] = "invisible"
+    b.lights["lamp"]["samples"] = 1
+    cam = {"type": camtype, "resx": 128, "resy": 128}
+    if camtype == "orthographic":
+        cam.update({"from": (0.5, -1.35, 0.5), "to": (0.5, 0.5, 0.5),
+                    "up": (0.5, -1.35, 1.5), "scale": 1.4})
+    else:
+        cam.update({"from": (0.5, 0.5, 0.5), "to": (0.5, 1.5, 0.5),
+                    "up": (0.5, 0.5, 1.5)})
+    b.cameras["cam"] = P.ParamMap(cam)
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    film = render(scene, cfg, 128, 128, spp=24)
+    img = np.asarray(F.resolve(film, "combined"))[..., :3] * np.pi
+    assert np.isfinite(img).all()
+    scale = img.mean() / ref.mean()
+    assert abs(scale - 1.0) < 0.01, f"global radiance scale off: {scale}"
+    rd, od = _downsample(ref), _downsample(img)
+    lit = rd.max(-1) > 0.03
+    reld = np.abs(od - rd).max(-1)[lit] / rd.max(-1)[lit]
+    assert reld.mean() < tol_mean, f"downsampled mean rel {reld.mean():.4f}"
+    p99 = float(np.percentile(reld, 99))
+    assert p99 < tol_p99, f"downsampled p99 {p99:.4f}"

@@ -8,7 +8,10 @@
  * golden"), writing a LINEAR-color-space .hdr (Radiance RGBE) so the
  * comparison is done in radiance units, not 8-bit gamma.
  *
- * Usage: cornell_ref <out.hdr> [size] [spp]
+ * Usage: cornell_ref <out.hdr> [size] [spp] [camera]
+ *   camera: perspective (default) | orthographic | equirectangular —
+ *   the same Cornell box through each projection, pinning the camera
+ *   ray-generation conventions against the reference.
  * Build: see tools/refparity/README.md (links against /tmp/refbuild).
  */
 #include <math.h>
@@ -123,17 +126,35 @@ int main(int argc, char **argv)
 	yafaray_createBackground(yi, "world_background");
 	yafaray_paramsClearAll(yi);
 
-	/* perspective camera: focal = 0.5/tan(fov/2), fov 39 deg horizontal
-	 * (image plane width 1 at distance focal — camera_perspective.cc:66) */
-	yafaray_paramsSetString(yi, "type", "perspective");
-	yafaray_paramsSetInt(yi, "resx", size);
-	yafaray_paramsSetInt(yi, "resy", size);
-	yafaray_paramsSetFloat(yi, "focal", 0.5 / tan(0.5 * 39.0 * M_PI / 180.0));
-	yafaray_paramsSetVector(yi, "from", 0.5, -1.35, 0.5);
-	yafaray_paramsSetVector(yi, "to", 0.5, 0.5, 0.5);
-	yafaray_paramsSetVector(yi, "up", 0.5, -1.35, 1.5);
-	yafaray_createCamera(yi, "cam");
-	yafaray_paramsClearAll(yi);
+	/* camera: perspective focal = 0.5/tan(fov/2), fov 39 deg horizontal
+	 * (image plane width 1 at distance focal — camera_perspective.cc:66);
+	 * orthographic from the same pose (scale = view width in world units);
+	 * equirectangular panorama from the box centre */
+	{
+		const char *camt = argc > 4 ? argv[4] : "perspective";
+		yafaray_paramsSetString(yi, "type", camt);
+		yafaray_paramsSetInt(yi, "resx", size);
+		yafaray_paramsSetInt(yi, "resy", size);
+		if(camt[0] == 'p')
+			yafaray_paramsSetFloat(yi, "focal",
+								   0.5 / tan(0.5 * 39.0 * M_PI / 180.0));
+		if(camt[0] == 'o')
+			yafaray_paramsSetFloat(yi, "scale", 1.4);
+		if(camt[0] == 'e')
+		{
+			yafaray_paramsSetVector(yi, "from", 0.5, 0.5, 0.5);
+			yafaray_paramsSetVector(yi, "to", 0.5, 1.5, 0.5);
+			yafaray_paramsSetVector(yi, "up", 0.5, 0.5, 1.5);
+		}
+		else
+		{
+			yafaray_paramsSetVector(yi, "from", 0.5, -1.35, 0.5);
+			yafaray_paramsSetVector(yi, "to", 0.5, 0.5, 0.5);
+			yafaray_paramsSetVector(yi, "up", 0.5, -1.35, 1.5);
+		}
+		yafaray_createCamera(yi, "cam");
+		yafaray_paramsClearAll(yi);
+	}
 
 	yafaray_paramsSetString(yi, "camera_name", "cam");
 	yafaray_createRenderView(yi, "view");
