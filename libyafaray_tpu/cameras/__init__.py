@@ -62,6 +62,7 @@ def make_camera(pm: P.ParamMap) -> Camera:
         resx=resx, resy=resy,
         focal=f32(1.0), aperture=f32(0.0), dof_distance=f32(0.0),
         angle=f32(0.0), ortho_scale=f32(1.0), bokeh_rotation=f32(0.0),
+        max_radius=f32(1.0),
     )
     if kind in ("perspective", "architect"):
         # reference: camera_perspective.cc — focal = 0.5 / tan(fov/2) in
@@ -78,11 +79,16 @@ def make_camera(pm: P.ParamMap) -> Camera:
         common.update(ortho_scale=f32(pm.get_float("scale", 1.0)))
         return Camera(kind=kind, **common)
     if kind == "angular":
-        common.update(angle=f32(pm.get_float("angle", 90.0) * math.pi / 180.0))
+        ang = pm.get_float("angle", 90.0)
+        common.update(
+            angle=f32(ang * math.pi / 180.0),
+            # clip radius in image-half-width units (camera_angular.cc:33
+            # max_radius_ = max_angle / angle)
+            max_radius=f32(pm.get_float("max_angle", ang) / max(ang, 1e-9)))
         proj = pm.get_string("projection", "equidistant")
-        if pm.get_bool("circular", True):
-            pass  # circular mask applied in shoot
-        return Camera(kind=kind, angular_projection=proj, **common)
+        return Camera(kind=kind, angular_projection=proj,
+                      circular=pm.get_bool("circular", True),
+                      mirrored=pm.get_bool("mirrored", False), **common)
     if kind == "equirectangular":
         return Camera(kind=kind, **common)
     raise KeyError(f"camera: unknown type {kind!r}")
@@ -160,12 +166,18 @@ def shoot_rays(cam: Camera, px: Array, py: Array, lens_u: Array, lens_v: Array
         return o, d, jnp.ones(px.shape, bool)
 
     if kind == "angular":
-        # reference camera_angular.cc: radius in screen plane -> polar angle
-        r = jnp.sqrt(sx * sx + sy * sy) * 2.0  # unit circle at screen edge
-        phi = jnp.arctan2(-sy, sx)
+        # reference camera_angular.cc shootRay: u = 1 - 2px/resx (the
+        # reference's angular view is x-MIRRORED relative to its other
+        # cameras), v row-flipped like the rest of its pipeline; radius
+        # -> polar angle via the projection's focal length
+        # (camera_angular.cc:38-42), azimuth = atan2(v, u). Pinned by the
+        # reference-render parity comparison (r5).
+        r = jnp.sqrt(sx * sx + sy * sy) * 2.0
+        phi = jnp.arctan2(-sy, sx if cam.mirrored else -sx)
         proj = cam.angular_projection
         if proj == "orthographic":
-            theta = jnp.arcsin(jnp.clip(r, 0.0, 1.0))
+            # focal = 1/sin(angle): theta = asin(r * sin(angle))
+            theta = jnp.arcsin(jnp.clip(r * jnp.sin(cam.angle), -1.0, 1.0))
         elif proj == "stereographic":
             theta = 2.0 * jnp.arctan(r * jnp.tan(cam.angle * 0.5))
         elif proj == "equisolid_angle":
@@ -178,7 +190,8 @@ def shoot_rays(cam: Camera, px: Array, py: Array, lens_u: Array, lens_v: Array
         d = (cam.cam_z * jnp.cos(theta)[..., None]
              + cam.cam_x * (st * jnp.cos(phi))[..., None]
              + cam.cam_y * (st * jnp.sin(phi))[..., None])
-        valid = r <= 1.0
+        valid = (r <= cam.max_radius) if cam.circular \
+            else jnp.ones(px.shape, bool)
         o = jnp.broadcast_to(cam.origin, d.shape)
         return o, vec.normalize(d), valid
 

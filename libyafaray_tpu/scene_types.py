@@ -332,7 +332,12 @@ class Camera:
     aperture: Array = None       # f32 DOF aperture radius
     dof_distance: Array = None   # f32 focus distance
     aspect: Array = None         # f32 aspect ratio factor
-    angle: Array = None          # f32 angular-camera max angle (radians)
+    angle: Array = None          # f32 angular-camera angle (radians)
+    # angular camera extras (camera_angular.cc): clip radius in units of
+    # the image half-width (max_angle/angle), circular mask, x-mirror
+    max_radius: Array = None     # f32
+    circular: bool = struct.field(pytree_node=False, default=True)
+    mirrored: bool = struct.field(pytree_node=False, default=False)
     ortho_scale: Array = None    # f32
     near_clip: Array = None      # f32
     far_clip: Array = None       # f32

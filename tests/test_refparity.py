@@ -295,17 +295,23 @@ def test_instances_match_reference_render(mode):
 @pytest.mark.parametrize("camtype,golden,tol_mean,tol_p99", [
     ("orthographic", "cornell_ortho_128.hdr", 0.04, 0.18),
     ("equirectangular", "cornell_equi_128.hdr", 0.03, 0.12),
+    ("angular", "cornell_angular_128.hdr", 0.05, 0.14),
 ])
 def test_alternate_cameras_match_reference_render(camtype, golden,
                                                   tol_mean, tol_p99):
-    """Orthographic and equirectangular cameras vs the reference binary's
-    own renders of the same Cornell box (tools/refparity/cornell_ref.c
-    camera arg). Pins the ray-generation conventions externally: this
-    comparison FOUND and fixed a real equirectangular bug (theta offset
-    by pi/2 — the up pole sat on the middle row — and mirrored phi;
-    pre-fix mean relative error 96%, post-fix 1.3%). Measured post-fix:
-    ortho scale 0.9990 / mean 1.9% / p99 10.5%; equirect scale 0.9994 /
-    mean 1.3% / p99 6.5% at 24 spp — tolerances set ~2x above."""
+    """Orthographic, equirectangular and angular cameras vs the reference
+    binary's own renders of the same Cornell box
+    (tools/refparity/cornell_ref.c camera arg). Pins the ray-generation
+    conventions externally: this comparison FOUND and fixed two real
+    bugs — equirectangular theta was offset by pi/2 (the up pole sat on
+    the middle row) with mirrored phi (pre-fix mean rel error 96%,
+    post-fix 1.3%), and the angular camera's azimuth lacked the
+    reference's x-mirror (u = 1 - 2px/resx, camera_angular.cc shootRay)
+    plus the sin(angle) focal factor of its orthographic projection and
+    the max_angle/circular/mirrored params (pre-fix 58%, post-fix 2.1%).
+    Measured post-fix at 24 spp: ortho scale 0.9990 / mean 1.9% /
+    p99 10.5%; equirect 0.9994 / 1.3% / 6.5%; angular 0.990 / 2.1% /
+    5.9% — tolerances set ~2x above."""
     import libyafaray_tpu.params as P
     ref = np.asarray(yio.load_hdr(os.path.join(GOLDEN, golden)))[..., :3]
     b = cornell_builder()
@@ -315,6 +321,10 @@ def test_alternate_cameras_match_reference_render(camtype, golden,
     if camtype == "orthographic":
         cam.update({"from": (0.5, -1.35, 0.5), "to": (0.5, 0.5, 0.5),
                     "up": (0.5, -1.35, 1.5), "scale": 1.4})
+    elif camtype == "angular":
+        cam.update({"from": (0.5, -1.35, 0.5), "to": (0.5, 0.5, 0.5),
+                    "up": (0.5, -1.35, 1.5), "angle": 90.0,
+                    "max_angle": 90.0})
     else:
         cam.update({"from": (0.5, 0.5, 0.5), "to": (0.5, 1.5, 0.5),
                     "up": (0.5, 0.5, 1.5)})

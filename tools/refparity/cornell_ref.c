@@ -140,6 +140,11 @@ int main(int argc, char **argv)
 								   0.5 / tan(0.5 * 39.0 * M_PI / 180.0));
 		if(camt[0] == 'o')
 			yafaray_paramsSetFloat(yi, "scale", 1.4);
+		if(camt[0] == 'a')
+		{
+			yafaray_paramsSetFloat(yi, "angle", 90.0);
+			yafaray_paramsSetFloat(yi, "max_angle", 90.0);
+		}
 		if(camt[0] == 'e')
 		{
 			yafaray_paramsSetVector(yi, "from", 0.5, 0.5, 0.5);
