@@ -296,6 +296,7 @@ def test_instances_match_reference_render(mode):
     ("orthographic", "cornell_ortho_128.hdr", 0.04, 0.18),
     ("equirectangular", "cornell_equi_128.hdr", 0.03, 0.12),
     ("angular", "cornell_angular_128.hdr", 0.05, 0.14),
+    ("architect", "cornell_archi_128.hdr", 0.04, 0.20),
 ])
 def test_alternate_cameras_match_reference_render(camtype, golden,
                                                   tol_mean, tol_p99):
@@ -325,6 +326,11 @@ def test_alternate_cameras_match_reference_render(camtype, golden,
         cam.update({"from": (0.5, -1.35, 0.5), "to": (0.5, 0.5, 0.5),
                     "up": (0.5, -1.35, 1.5), "angle": 90.0,
                     "max_angle": 90.0})
+    elif camtype == "architect":
+        # tilted UP: the vertical-line-preserving projection is distinct
+        # from perspective here (measured mean 1.7% / p99 9.8% at 24 spp)
+        cam.update({"from": (0.5, -1.35, 0.2), "to": (0.5, 0.5, 0.8),
+                    "up": (0.5, -1.6, 1.1), "fov": 39.0})
     else:
         cam.update({"from": (0.5, 0.5, 0.5), "to": (0.5, 1.5, 0.5),
                     "up": (0.5, 0.5, 1.5)})

@@ -17,6 +17,7 @@
 #include <math.h>
 #include <stdio.h>
 #include <stdlib.h>
+#include <string.h>
 #include <yafaray_c_api.h>
 
 static yafaray_Interface_t *yi;
@@ -132,24 +133,37 @@ int main(int argc, char **argv)
 	 * equirectangular panorama from the box centre */
 	{
 		const char *camt = argc > 4 ? argv[4] : "perspective";
+		const int is_persp = camt[0] == 'p';
+		const int is_archi = strcmp(camt, "architect") == 0;
+		const int is_ortho = camt[0] == 'o';
+		const int is_angul = strcmp(camt, "angular") == 0;
+		const int is_equi = camt[0] == 'e';
 		yafaray_paramsSetString(yi, "type", camt);
 		yafaray_paramsSetInt(yi, "resx", size);
 		yafaray_paramsSetInt(yi, "resy", size);
-		if(camt[0] == 'p')
+		if(is_persp || is_archi)
 			yafaray_paramsSetFloat(yi, "focal",
 								   0.5 / tan(0.5 * 39.0 * M_PI / 180.0));
-		if(camt[0] == 'o')
+		if(is_ortho)
 			yafaray_paramsSetFloat(yi, "scale", 1.4);
-		if(camt[0] == 'a')
+		if(is_angul)
 		{
 			yafaray_paramsSetFloat(yi, "angle", 90.0);
 			yafaray_paramsSetFloat(yi, "max_angle", 90.0);
 		}
-		if(camt[0] == 'e')
+		if(is_equi)
 		{
 			yafaray_paramsSetVector(yi, "from", 0.5, 0.5, 0.5);
 			yafaray_paramsSetVector(yi, "to", 0.5, 1.5, 0.5);
 			yafaray_paramsSetVector(yi, "up", 0.5, 0.5, 1.5);
+		}
+		else if(is_archi)
+		{
+			/* tilted UP so the vertical-line-preserving projection is
+			 * actually distinct from perspective */
+			yafaray_paramsSetVector(yi, "from", 0.5, -1.35, 0.2);
+			yafaray_paramsSetVector(yi, "to", 0.5, 0.5, 0.8);
+			yafaray_paramsSetVector(yi, "up", 0.5, -1.6, 1.1);
 		}
 		else
 		{
