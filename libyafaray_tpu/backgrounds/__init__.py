@@ -83,10 +83,37 @@ def make_sunsky(pm: P.ParamMap, dark: bool = False) -> SunSky:
 
 
 def _eval_sunsky(ss: SunSky, d: Array) -> Array:
-    cos_theta = jnp.clip(d[..., 2], 0.0, 1.0)
-    cos_gamma = jnp.clip(vec.dot(d, ss.sun_dir), -1.0, 1.0)
-    gamma = jnp.arccos(cos_gamma)
+    """Preetham sky matching the reference getSkyCol point-for-point
+    (background_sunsky.cc:115-165, verified against the reference
+    binary's own equirect sky render, r5): below-horizon directions are
+    evaluated AT the horizon (theta clamped to pi/2, including the
+    sun-angle gamma) with a smoothstep fade to black; a night fade
+    applies when the sun itself is below the horizon; luminance is
+    scaled by 1/15000 and the RGB is clamped to [0,1] BEFORE power."""
+    z = jnp.clip(d[..., 2], -1.0, 1.0)
+    theta_raw = jnp.arccos(z)
+    half_pi = jnp.float32(0.5 * jnp.pi)
+    below = theta_raw > half_pi
+    # horizon stretch + smoothstep fade (hfade)
+    hf = 1.0 - (theta_raw / jnp.pi - 0.5) * 2.0
+    hfade = jnp.where(below, hf * hf * (3.0 - 2.0 * hf), 1.0)
+    theta = jnp.minimum(theta_raw, half_pi)
+    cos_theta = jnp.cos(theta)
+    # night fade (sun below horizon) toward the zenith
+    nf = (1.0 - (0.5 - theta / jnp.pi) * 2.0) \
+        * (1.0 - (ss.theta_s / jnp.pi - 0.5) * 2.0)
+    nfade = jnp.where(ss.theta_s > half_pi,
+                      jnp.clip(nf, 0.0, 1.0) ** 2
+                      * (3.0 - 2.0 * jnp.clip(nf, 0.0, 1.0)), 1.0)
+    # gamma from the CLAMPED theta (angleBetween(theta, phi))
+    phi = jnp.arctan2(d[..., 1], d[..., 0])
+    phi_s = jnp.arctan2(ss.sun_dir[1], ss.sun_dir[0])
+    sin_ts = jnp.sin(ss.theta_s)
     cos_ts = jnp.cos(ss.theta_s)
+    cos_gamma = jnp.clip(jnp.sin(theta) * sin_ts * jnp.cos(phi_s - phi)
+                         + cos_theta * cos_ts, -1.0, 1.0)
+    gamma = jnp.arccos(cos_gamma)
+
     # relative Perez values vs zenith-normalization at gamma=theta_s, theta=0
     def rel(coef):
         num = _perez(coef, cos_theta, gamma, cos_gamma)
@@ -95,7 +122,9 @@ def _eval_sunsky(ss: SunSky, d: Array) -> Array:
                      jnp.broadcast_to(cos_ts, cos_theta.shape))
         return num / jnp.maximum(den, 1e-9)
 
-    Y = ss.zenith_Y * rel(ss.perez_Y) * 1e-4  # scaled to ~1.0 range
+    # luminance scale 1/15000 (background_sunsky.cc:151)
+    Y = (ss.zenith_Y * rel(ss.perez_Y)
+         * jnp.float32(6.666666667e-5) * nfade * hfade)
     x = ss.zenith_x * rel(ss.perez_x)
     y = ss.zenith_y * rel(ss.perez_y)
     # xyY -> XYZ -> linear RGB
@@ -104,10 +133,9 @@ def _eval_sunsky(ss: SunSky, d: Array) -> Array:
     Z = (1.0 - x - y) / y_safe * Y
     from .. import color as C
     rgb = C.xyz_to_linear(jnp.stack([X, Y, Z], axis=-1))
-    rgb = jnp.maximum(rgb, 0.0) * ss.power
-    # below the horizon: fade to horizon color
-    below = d[..., 2] < 0.0
-    return jnp.where(below[..., None], 0.0, rgb)
+    # clampRgb01 BEFORE power, like the reference
+    rgb = jnp.clip(rgb, 0.0, 1.0) * ss.power
+    return rgb
 
 
 @struct.dataclass
@@ -189,7 +217,12 @@ def make_darksky(pm: P.ParamMap) -> DarkSky:
         sun_dir=f32(sd), theta_s=f32(theta_s), zenith_Y=f32(zenith_Y),
         zenith_x=f32(zenith_x), zenith_y=f32(zenith_y),
         perez_Y=f32(perez_Y), perez_x=f32(perez_x), perez_y=f32(perez_y),
-        power=f32(pm.get_float("power", 1.0) * pm.get_float("bright", 1.0)),
+        # the reference applies `bright` TWICE: getSkyCol multiplies by
+        # sky_brightness_ and eval() multiplies by power_ = power*bright
+        # (background_darksky.cc:2,48,196-199) — mirrored here
+        power=f32(pm.get_float("power", 1.0)
+                  * pm.get_float("bright", 1.0) ** 2
+                  * (0.5 ** 2 if pm.get_bool("night", False) else 1.0)),
         alt=f32(alt), exposure=f32(pm.get_float("exposure", 1.0)),
         night=pm.get_bool("night", False),
         color_space="srgb" if cs.startswith("sRGB") else "cie-e")
@@ -225,7 +258,11 @@ def _eval_darksky(ds: DarkSky, d: Array) -> Array:
         rgb = C.xyz_to_linear(xyz)
     else:
         rgb = xyz @ jnp.asarray(_CIE_E_MAT).T
-    rgb = jnp.maximum(rgb, 0.0)
+    # the reference darksky HARDCODES gamma encoding (v^(1/2.2)) and
+    # clampRgb01 in its ColorConv — the clamp_rgb/gamma_enc getParams are
+    # commented out (background_darksky.cc:230-232, color_conversion.h:85)
+    rgb = jnp.clip(jnp.power(jnp.maximum(rgb, 0.0),
+                             jnp.float32(1.0 / 2.2)), 0.0, 1.0)
     if ds.night:
         # night mode keeps a faint blue sky instead of black
         # (background_darksky.cc getSkyCol night branch)

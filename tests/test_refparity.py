@@ -348,3 +348,59 @@ def test_alternate_cameras_match_reference_render(camtype, golden,
     assert reld.mean() < tol_mean, f"downsampled mean rel {reld.mean():.4f}"
     p99 = float(np.percentile(reld, 99))
     assert p99 < tol_p99, f"downsampled p99 {p99:.4f}"
+
+
+@pytest.mark.refparity
+@pytest.mark.timeout(600)
+@pytest.mark.parametrize("bgtype,golden,tol_mean,tol_p99", [
+    ("sunsky", "sky_sunsky_128.hdr", 0.02, 0.10),
+    ("darksky", "sky_darksky_128.hdr", 0.01, 0.03),
+])
+def test_sky_backgrounds_match_reference_render(bgtype, golden,
+                                                tol_mean, tol_p99):
+    """Analytic skies vs the reference binary's own equirect panorama of
+    the empty sky (tools/refparity/sky_ref.c) — the image IS the
+    background function, so this pins Preetham sunsky and the darksky
+    variant point-for-point over the dome. This comparison FOUND and
+    fixed real gaps (r5): sunsky lacked the reference's 1/15000
+    luminance scale, clampRgb01, below-horizon stretch (theta clamped to
+    the horizon incl. the sun angle, smoothstep fade) and the night fade
+    — pre-fix mean relative error 86%, post-fix 0.58%; darksky lacked
+    the hardcoded gamma encode (v^(1/2.2)) + clamp (its clamp_rgb/
+    gamma_enc getParams are commented out in the reference) and the
+    double application of `bright` — pre-fix 46%, post-fix 0.27%.
+    Residual error is the 4-spp pixel-jitter of both renders;
+    tolerances ~3x the measured values. NOTE: backgrounds are compared
+    WITHOUT the pi factor — they are camera-ray radiance on both sides
+    (no BRDF in the path)."""
+    ref = np.asarray(
+        yio.load_hdr(os.path.join(GOLDEN, golden)))[..., :3]
+    b = SceneBuilder()
+    b.create_material("m", {"type": "shinydiffusemat",
+                            "color": (0.5, 0.5, 0.5)})
+    b.create_object("dummy")
+    b.set_current_material("m")
+    a0 = b.add_vertex(500, 500, -500)
+    a1 = b.add_vertex(501, 500, -500)
+    a2 = b.add_vertex(500, 501, -500)
+    b.add_triangle(a0, a1, a2)
+    bgp = {"type": bgtype, "from": (0.4, 0.3, 0.6), "turbidity": 3.0,
+           "power": 1.0, "add_sun": False, "background_light": False}
+    if bgtype == "darksky":
+        bgp.update({"altitude": 0.0, "night": False, "exposure": 1.0})
+    b.create_background(bgp)
+    b.create_camera("cam", {"type": "equirectangular", "resx": 128,
+                            "resy": 128, "from": (0, 0, 0), "to": (0, 1, 0),
+                            "up": (0, 0, 1)})
+    scene = b.compile("cam")
+    cfg = make_integrator({"type": "directlighting"})
+    film = render(scene, cfg, 128, 128, spp=4)
+    img = np.asarray(F.resolve(film, "combined"))[..., :3]
+    assert np.isfinite(img).all()
+    scale = img.mean() / ref.mean()
+    assert abs(scale - 1.0) < 0.01, f"global radiance scale off: {scale}"
+    lit = ref.max(-1) > 0.01
+    rel = np.abs(img - ref).max(-1)[lit] / ref.max(-1)[lit]
+    assert rel.mean() < tol_mean, f"mean rel {rel.mean():.4f}"
+    p99 = float(np.percentile(rel, 99))
+    assert p99 < tol_p99, f"p99 {p99:.4f}"
