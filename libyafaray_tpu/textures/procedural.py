@@ -25,7 +25,11 @@ def _masked_turbulence(p: Array, depth: Array, size: Array, hard: Array,
                        ntype: Array, max_oct: int, used_noise) -> Array:
     """Turbulence with per-lane dynamic octave count / noise basis,
     statically bounded by max_oct and the set of used bases."""
-    freq = 1.0 / jnp.maximum(size, 1e-9)
+    # reference semantics: `size` MULTIPLIES the coordinate (frequency,
+    # not period) — NoiseGenerator::turbulence tp = pt * size
+    # (noise_generator.cc); found by the r5 reference-render parity probe
+    # (our old 1/size gave a 16x frequency mismatch at size=4)
+    freq = size
     amp = jnp.ones_like(size)
     total = jnp.zeros(p.shape[:-1], jnp.float32)
     norm = jnp.zeros_like(total)
@@ -124,7 +128,7 @@ def eval_procedural(pool: TexturePool, tex_id: Array, p: Array,
 
     if TEX_VORONOI in used_types:
         size = jnp.maximum(pf[..., 0], 1e-9)
-        f1, f2, f3, f4 = voronoi_f(p / size[..., None])
+        f1, f2, f3, f4 = voronoi_f(p * size[..., None])
         sc = (pf[..., 1] * f1 + pf[..., 2] * f2 + pf[..., 3] * f3
               + pf[..., 4] * f4) * pf[..., 6]
         inten = jnp.where(ty == TEX_VORONOI, jnp.clip(sc, 0.0, 1.0), inten)
@@ -138,7 +142,7 @@ def eval_procedural(pool: TexturePool, tex_id: Array, p: Array,
         gain = pf[..., 5]
         mty = pf[..., 7]
         ntype = pf[..., 8].astype(jnp.int32)
-        pp = p / size[..., None]
+        pp = p * size[..., None]
         value = jnp.zeros_like(inten)
         # fBm / multifractal accumulators with dynamic octave masking
         fbm = jnp.zeros_like(inten)
@@ -167,7 +171,7 @@ def eval_procedural(pool: TexturePool, tex_id: Array, p: Array,
 
     if TEX_DISTORTED_NOISE in used_types:
         size = jnp.maximum(pf[..., 0], 1e-9)
-        pp = p / size[..., None]
+        pp = p * size[..., None]
         n1 = pf[..., 2].astype(jnp.int32)
         n2 = pf[..., 3].astype(jnp.int32)
         ox = _basis_masked(n1, pp, 11, used_noise) * 2.0 - 1.0
